@@ -1,0 +1,3 @@
+"""Numerical core: losses, ramps, EMA, schedules, metrics, SDF, kernels."""
+
+from cvssl_tpu.ops import losses, ramps, ema, schedules, metrics, sdf  # noqa: F401

@@ -1,0 +1,62 @@
+"""GAN discriminators for adversarial SSL (Flax, NHWC/NDHWC).
+
+Parity with ``code/networks/discriminator.py``: a conv ladder over
+(softmax map, image) pairs ending in a binary labeled/unlabeled logit.
+
+The reference's 2D ``FCDiscriminator`` hard-codes ``Linear(ndf*32, 2)`` after
+an ``AvgPool2d(7)``, which only type-checks for ~512px inputs (it crashes at
+the 256/224px sizes its own trainers feed it — reference bug, SURVEY §8).
+Here the final Dense infers its input width, so any input size works while
+512px inputs reproduce the reference arithmetic exactly.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class FCDiscriminator(nn.Module):
+    """2D discriminator (``discriminator.py:58-100``). Inputs NHWC."""
+    num_classes: int
+    ndf: int = 64
+
+    @nn.compact
+    def __call__(self, seg_map, image, *, train: bool = False):
+        x = nn.Conv(self.ndf, (4, 4), strides=2, padding=1)(seg_map) + \
+            nn.Conv(self.ndf, (4, 4), strides=2, padding=1)(image)
+        # Reference quirk kept: no activation between the add and conv2.
+        x = nn.Conv(self.ndf * 2, (4, 4), strides=2, padding=1)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Conv(self.ndf * 4, (4, 4), strides=2, padding=1)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Conv(self.ndf * 8, (4, 4), strides=2, padding=1)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.avg_pool(x, (7, 7), strides=(7, 7))  # floor-mode window
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(2)(x)
+
+
+class FC3DDiscriminator(nn.Module):
+    """3D discriminator (``discriminator.py:6-55``). Inputs NDHWC;
+    96^3 inputs -> 6^3 after 4 stride-2 convs -> global avg pool 6^3."""
+    num_classes: int
+    ndf: int = 64
+
+    @nn.compact
+    def __call__(self, seg_map, image, *, train: bool = False):
+        x = nn.Conv(self.ndf, (4, 4, 4), strides=2, padding=1)(seg_map) + \
+            nn.Conv(self.ndf, (4, 4, 4), strides=2, padding=1)(image)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Conv(self.ndf * 2, (4, 4, 4), strides=2, padding=1)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Conv(self.ndf * 4, (4, 4, 4), strides=2, padding=1)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Conv(self.ndf * 8, (4, 4, 4), strides=2, padding=1)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = jnp.mean(x, axis=(1, 2, 3))  # AvgPool3d(6) == global mean at 6^3
+        return nn.Dense(2)(x)

@@ -1,0 +1,57 @@
+"""2D per-volume validation — parity with ``code/val_2D.py:18-39``.
+
+The reference loops slices one at a time with a host->GPU round trip per
+slice. Here all slices of a volume go through ONE jitted batched forward
+(padded to a bucket size so XLA compiles a handful of shapes, not one per
+volume), then argmax comes back to host for the zoom-back + medpy-style
+metrics (Dice + HD95, background excluded, empty-pred guard).
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+from scipy import ndimage
+
+from cvssl_tpu.ops import metrics as M
+
+
+def _bucket(n: int, sizes=(8, 16, 32, 64, 128, 256)) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    return int(np.ceil(n / 256) * 256)
+
+
+def test_single_volume(image: np.ndarray, label: np.ndarray,
+                       predict_fn: Callable[[np.ndarray], np.ndarray],
+                       classes: int,
+                       patch_size: Sequence[int] = (256, 256)):
+    """image/label: (S, H, W). predict_fn: batched (B, ph, pw, 1) float32 ->
+    (B, ph, pw) int predictions (argmax already applied on device).
+    Returns [(dice, hd95)] for classes 1..classes-1."""
+    s, x, y = image.shape
+    zoomed = ndimage.zoom(image, (1, patch_size[0] / x, patch_size[1] / y),
+                          order=0)
+    b = _bucket(s)
+    batch = np.zeros((b, patch_size[0], patch_size[1], 1), np.float32)
+    batch[:s, ..., 0] = zoomed
+    pred_patch = np.asarray(predict_fn(batch))[:s]
+    prediction = ndimage.zoom(pred_patch,
+                              (1, x / patch_size[0], y / patch_size[1]),
+                              order=0)
+    return [M.calculate_metric_percase_val(prediction == c, label == c)
+            for c in range(1, classes)]
+
+
+def evaluate(dataset, predict_fn, classes: int,
+             patch_size: Sequence[int] = (256, 256)) -> np.ndarray:
+    """Mean (dice, hd95) per foreground class over a val dataset of volumes
+    (the reference's val loop, ``train_fully_supervised_2D.py:143-150``)."""
+    total = np.zeros((classes - 1, 2))
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        total += np.asarray(test_single_volume(
+            sample["image"], sample["label"], predict_fn, classes,
+            patch_size))
+    return total / len(dataset)

@@ -1,0 +1,303 @@
+"""The training engine.
+
+One engine replaces the reference's 27 hand-copied training loops: it owns
+state construction, the single jitted+sharded train step (forwards, losses,
+grads, optimizer, EMA teacher, BatchNorm state), validation cadence, best /
+periodic checkpointing, and logging. Strategy differences live entirely in
+Method modules (``cvssl_tpu/train/methods``).
+
+TPU design notes:
+* The whole step is one XLA program; host work per iteration is a dict
+  lookup and an (async) dispatch. Metrics are only fetched at log points —
+  no per-step device sync (the reference syncs every iteration).
+* Data parallelism: batch sharded over a 1-D ``data`` mesh, params
+  replicated; XLA inserts the gradient/BN-stat collectives (psum over ICI).
+* Two-optimizer strategies (CPS/cross-teaching: SURVEY §2.5) become one
+  ``optax.multi_transform`` over the model-name partition of the param tree.
+* Adversarial strategies run a second grad phase (discriminator) inside the
+  same jitted step — method sets ``adversarial_models`` and ``loss_d``.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cvssl_tpu.data import transforms as T
+from cvssl_tpu.data.datasets import SliceDataset, VolumeDataset
+from cvssl_tpu.data.pipeline import DataPipeline
+from cvssl_tpu.data.sampler import ShuffleBatchSampler, TwoStreamBatchSampler
+from cvssl_tpu.eval import val2d
+from cvssl_tpu.ops.ema import ema_decay_schedule, ema_update
+from cvssl_tpu.parallel import mesh as pmesh
+from cvssl_tpu.train.config import TrainConfig
+from cvssl_tpu.train.methods.base import Method, get_method
+from cvssl_tpu.train.state import StepCtx, TrainState
+from cvssl_tpu.utils import checkpoint as ckpt
+from cvssl_tpu.utils.logging import MetricsWriter, setup_logging
+
+
+class Engine:
+    def __init__(self, cfg: TrainConfig, method: Optional[Method] = None):
+        self.cfg = cfg
+        self.method = method or get_method(cfg.method, cfg)
+        self.modules = self.method.build_models()
+        self.mesh = pmesh.make_mesh(cfg.num_devices)
+        self._txs = self.method.optimizers()
+        self.tx = None  # built at init_state once params exist
+        self._train_step = None
+        self._predict_fns: Dict[str, callable] = {}
+
+    # ------------------------------------------------------------------
+    # state construction
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, sample_batch: dict) -> TrainState:
+        cfg = self.cfg
+        params, batch_stats = {}, {}
+        for name, module in self.modules.items():
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
+            args = self.method.init_inputs(name, sample_batch)
+            variables = module.init(
+                {"params": k1, "dropout": k2, "perturb": k3}, *args,
+                train=False)
+            params[name] = variables["params"]
+            batch_stats[name] = variables.get("batch_stats", {})
+
+        # optimizer over the combined tree, partitioned by model name
+        labels = {name: jax.tree_util.tree_map(lambda _: name, params[name])
+                  for name in params}
+        self.tx = optax.multi_transform(self._txs, labels)
+        opt_state = self.tx.init(params)
+
+        teacher_params = {name: jax.tree_util.tree_map(jnp.copy, params[name])
+                          for name in self.method.teacher_names}
+        teacher_stats = {name: jax.tree_util.tree_map(
+            jnp.copy, batch_stats[name]) for name in self.method.teacher_names}
+
+        rng, extra_rng, state_rng = jax.random.split(rng, 3)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=batch_stats, opt_state=opt_state,
+            teacher_params=teacher_params, teacher_batch_stats=teacher_stats,
+            extra=self.method.init_extra(extra_rng), rng=state_rng)
+        return pmesh.replicate_state(self.mesh, state)
+
+    # ------------------------------------------------------------------
+    # the jitted step
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        cfg, method, modules = self.cfg, self.method, self.modules
+        tx = self.tx
+        adv_names = tuple(getattr(method, "adversarial_models", ()))
+        main_names = tuple(n for n in method.model_names
+                           if n not in adv_names)
+
+        def make_ctx(params, state, batch_stats, rng):
+            return StepCtx(cfg, modules, params, batch_stats,
+                           state.teacher_params, state.teacher_batch_stats,
+                           rng, state.step)
+
+        def loss_fn(main_params, frozen_adv_params, state, batch, rng):
+            params = dict(main_params)
+            params.update(frozen_adv_params)
+            ctx = make_ctx(params, state, state.batch_stats, rng)
+            ctx.extra = state.extra
+            loss, metrics = method.loss(ctx, batch)
+            new_extra = getattr(ctx, "new_extra", state.extra)
+            return loss, (metrics, ctx.stats, ctx.teacher_stats, new_extra)
+
+        def d_loss_fn(adv_params, main_params, state, batch_stats, batch, rng):
+            params = dict(main_params)
+            params.update(adv_params)
+            ctx = make_ctx(params, state, batch_stats, rng)
+            ctx.extra = state.extra
+            loss, metrics = method.loss_d(ctx, batch)
+            return loss, (metrics, ctx.stats)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch: dict):
+            rng, g_rng, d_rng = jax.random.split(state.rng, 3)
+            main_params = {n: state.params[n] for n in main_names}
+            adv_params = {n: state.params[n] for n in adv_names}
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                main_params, adv_params, state, batch, g_rng)
+            metrics, new_stats, new_teacher_stats, new_extra = aux
+
+            if adv_names:
+                (d_loss, d_aux), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(
+                        adv_params, main_params, state, new_stats, batch,
+                        d_rng)
+                d_metrics, new_stats = d_aux
+                metrics = {**metrics, **d_metrics, "loss_d": d_loss}
+                grads = {**grads, **d_grads}
+
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            teacher_params = {}
+            for name in method.teacher_names:
+                decay = ema_decay_schedule(state.step, cfg.ema_decay)
+                teacher_params[name] = ema_update(
+                    state.teacher_params[name], new_params[name], decay)
+
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=new_stats, opt_state=new_opt,
+                teacher_params=teacher_params,
+                teacher_batch_stats=new_teacher_stats,
+                extra=new_extra, rng=rng)
+            return new_state, metrics
+
+        return step_fn
+
+    def train_step(self, state: TrainState, batch: dict):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step(state, pmesh.shard_batch(self.mesh, batch))
+
+    # ------------------------------------------------------------------
+    # prediction / validation
+    # ------------------------------------------------------------------
+    def predict_fn(self, name: str, state: TrainState, teacher: bool = False):
+        """Batched argmax predictor for validation (weights captured)."""
+        module = self.modules[name]
+        method = self.method
+
+        if name not in self._predict_fns:
+            @jax.jit
+            def _predict(params, batch_stats, x):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                out = module.apply(variables, x, train=False)
+                logits = method.primary_logits(out)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            self._predict_fns[name] = _predict
+
+        fn = self._predict_fns[name]
+        if teacher:
+            params = state.teacher_params[name]
+            stats = state.teacher_batch_stats[name]
+        else:
+            params = state.params[name]
+            stats = state.batch_stats[name]
+        return lambda x: fn(params, stats, x)
+
+    def validate(self, state: TrainState, val_dataset, name: str = None):
+        """Per-class (dice, hd95) means over the val set."""
+        name = name or self.method.eval_model_names()[0]
+        return val2d.evaluate(val_dataset, self.predict_fn(name, state),
+                              self.cfg.num_classes, self.cfg.patch_size)
+
+
+# ---------------------------------------------------------------------------
+# The full training loop (reference ``train()`` parity)
+# ---------------------------------------------------------------------------
+
+def build_2d_data(cfg: TrainConfig, supervised_only: bool):
+    """Datasets + sampler per the reference recipe."""
+    rng = np.random.default_rng(cfg.seed)
+    transform = T.RandomGenerator(cfg.patch_size, rng)
+    if supervised_only:
+        train_ds = SliceDataset(cfg.root_path, "train",
+                                num=cfg.labeled_slices, transform=transform)
+        sampler = ShuffleBatchSampler(len(train_ds), cfg.batch_size, rng)
+    else:
+        train_ds = SliceDataset(cfg.root_path, "train", transform=transform)
+        labeled = list(range(cfg.labeled_slices))
+        unlabeled = list(range(cfg.labeled_slices, len(train_ds)))
+        sampler = TwoStreamBatchSampler(labeled, unlabeled, cfg.batch_size,
+                                        cfg.batch_size - cfg.labeled_bs, rng)
+    val_ds = SliceDataset(cfg.root_path, "val")
+    return train_ds, sampler, val_ds
+
+
+def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
+        max_steps: Optional[int] = None) -> dict:
+    """Train per the reference protocol: val every ``val_every`` iters, best
+    checkpoint on mean dice, periodic full-state checkpoints."""
+    engine = engine or Engine(cfg)
+    snapshot = cfg.snapshot_path()
+    logger = setup_logging(snapshot)
+    writer = MetricsWriter(os.path.join(snapshot, "log"))
+    logger.info("config: %s", cfg)
+
+    supervised_only = cfg.method == "supervised"
+    train_ds, sampler, val_ds = build_2d_data(cfg, supervised_only)
+    pipe = DataPipeline(train_ds, sampler, num_workers=cfg.num_workers)
+    stream = pipe.stream()
+
+    first = next(stream)
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = engine.init_state(rng, first)
+
+    # resume if a full-state checkpoint exists
+    restored, start_it = ckpt.restore_latest(snapshot, state)
+    if restored is not None:
+        state = pmesh.replicate_state(engine.mesh, restored)
+        logger.info("resumed from iteration %d", start_it)
+
+    max_iterations = max_steps or cfg.max_iterations
+    best_dice = {n: 0.0 for n in engine.method.eval_model_names()}
+    metrics_acc, batch = None, first
+    t0 = time.time()
+    images_seen = 0
+
+    it = int(state.step)
+    while it < max_iterations:
+        state, metrics = engine.train_step(state, batch)
+        batch = next(stream)
+        it += 1
+        images_seen += cfg.batch_size
+
+        if it % 20 == 0 or it == 1:
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            writer.add_scalars({f"info/{k}": v for k, v in host.items()}, it)
+            logger.info("iteration %d : %s", it, " ".join(
+                f"{k}={v:.4f}" for k, v in sorted(host.items())))
+
+        if it % cfg.val_every == 0:
+            for name in engine.method.eval_model_names():
+                perf = engine.validate(state, val_ds, name)
+                mean_dice, mean_hd95 = perf[:, 0].mean(), perf[:, 1].mean()
+                writer.add_scalar(f"info/{name}_val_mean_dice", mean_dice, it)
+                writer.add_scalar(f"info/{name}_val_mean_hd95", mean_hd95, it)
+                logger.info("iteration %d : %s mean_dice %.4f mean_hd95 %.4f",
+                            it, name, mean_dice, mean_hd95)
+                if mean_dice > best_dice[name]:
+                    best_dice[name] = float(mean_dice)
+                    host_params = ckpt.to_host(state.params[name])
+                    # reference naming: iter_{k}_dice_{d} + {model}_best_model
+                    # (dual-model runs prefix with the model slot name,
+                    # train_cross_pseudo_supervision_2D.py:260-266)
+                    prefix = "" if name == "model" else f"{name}_"
+                    ckpt.save_weights(os.path.join(
+                        snapshot,
+                        f"{prefix}iter_{it}_dice_{mean_dice:.4f}.ckpt"),
+                        host_params)
+                    best_name = (f"{cfg.model}_best_model.ckpt"
+                                 if name == "model"
+                                 else f"{cfg.model}_best_{name}.ckpt")
+                    ckpt.save_weights(os.path.join(snapshot, best_name),
+                                      host_params)
+
+        if it % cfg.ckpt_every == 0:
+            ckpt.save_train_state(snapshot, ckpt.to_host(state), it)
+            ckpt.prune_old(snapshot)
+
+    elapsed = time.time() - t0
+    throughput = images_seen / elapsed if elapsed > 0 else 0.0
+    writer.close()
+    result = {"best_dice": best_dice, "iterations": it,
+              "slices_per_sec": throughput, "state": state}
+    logger.info("training finished: %.2f slices/sec, best dice %s",
+                throughput, best_dice)
+    return result

@@ -1,0 +1,108 @@
+"""SSL method interface.
+
+Each reference ``train_*.py`` script differs only in its loss block (SURVEY
+§1); here a Method is exactly that block: models to build, optimizers, and a
+pure ``loss(ctx, batch)``. Everything else (stepping, EMA, val, ckpt) lives
+once in the engine.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cvssl_tpu.models import net_factory, net_factory_3d
+from cvssl_tpu.ops import schedules
+
+_REGISTRY: Dict[str, type] = {}
+
+
+def register_method(name: str):
+    def deco(cls):
+        cls.name = name
+        _REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def get_method(name: str, cfg):
+    if name not in _REGISTRY:
+        # import side-effect registration
+        from cvssl_tpu.train import methods  # noqa: F401
+        if name not in _REGISTRY:
+            raise ValueError(
+                f"unknown method {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](cfg)
+
+
+def available_methods():
+    from cvssl_tpu.train import methods  # noqa: F401
+    return sorted(_REGISTRY)
+
+
+class Method:
+    """Base: single supervised model, no teacher, no extra state."""
+
+    name = "base"
+    model_names: Tuple[str, ...] = ("model",)
+    teacher_names: Tuple[str, ...] = ()      # models that get an EMA teacher
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    # -- construction -----------------------------------------------------
+    def _factory(self, net_type: str) -> nn.Module:
+        if self.cfg.dim == 3:
+            return net_factory_3d(net_type, self.cfg.in_channels,
+                                  self.cfg.num_classes)
+        return net_factory(net_type, self.cfg.in_channels,
+                           self.cfg.num_classes)
+
+    def build_models(self) -> Dict[str, nn.Module]:
+        return {"model": self._factory(self.cfg.model)}
+
+    def optimizers(self):
+        """Per-model optax transforms; the engine combines them."""
+        tx = schedules.reference_sgd(self.cfg.base_lr,
+                                     self.cfg.max_iterations)
+        return {name: tx for name in self.model_names}
+
+    def init_extra(self, rng):
+        return ()
+
+    def init_inputs(self, name: str, sample_batch) -> tuple:
+        """Arguments for ``module.init`` (override for models whose forward
+        takes more than an image, e.g. discriminators)."""
+        import jax.numpy as jnp
+        return (jnp.asarray(sample_batch["image"]),)
+
+    # -- the strategy -----------------------------------------------------
+    def loss(self, ctx, batch):
+        """Return (total_loss, metrics_dict). Override per strategy."""
+        raise NotImplementedError
+
+    # -- eval -------------------------------------------------------------
+    def eval_model_names(self) -> Tuple[str, ...]:
+        """Models to validate/checkpoint independently (cross-teaching
+        validates both, ``train_cross_teaching...py:287``)."""
+        return self.model_names
+
+    def primary_logits(self, out):
+        """Extract the main logit map from a model output (DS variants
+        return tuples)."""
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+
+def split_batch(cfg, batch):
+    """(labeled image+label, unlabeled image) split used by every SSL method:
+    first labeled_bs items are labeled (``train_mean_teacher_2D.py:204-210``)."""
+    image = batch["image"]
+    label = batch["label"]
+    lb = cfg.labeled_bs
+    return image[:lb], label[:lb], image[lb:]
+
+
+def mean_softmax_mse(student_logits, teacher_logits):
+    from cvssl_tpu.ops import losses
+    return jnp.mean(losses.softmax_mse_loss(student_logits, teacher_logits))

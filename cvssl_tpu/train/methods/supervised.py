@@ -1,0 +1,20 @@
+"""Fully-supervised baseline — ``train_fully_supervised_2D.py`` /
+``train_fully_supervised_3D.py`` (and their ViT variants via --model)."""
+from __future__ import annotations
+
+from cvssl_tpu.ops import losses
+from cvssl_tpu.train.methods.base import Method, register_method
+
+
+@register_method("supervised")
+class Supervised(Method):
+    """loss = 0.5*(ce + dice) on the whole batch
+    (``train_fully_supervised_2D.py:109-114``)."""
+
+    def loss(self, ctx, batch):
+        logits = self.primary_logits(ctx.forward("model", batch["image"]))
+        ce = losses.cross_entropy(logits, batch["label"])
+        dice = losses.dice_loss(logits, batch["label"],
+                                self.cfg.num_classes, softmax=True)
+        total = 0.5 * (ce + dice)
+        return total, {"loss": total, "loss_ce": ce, "loss_dice": dice}

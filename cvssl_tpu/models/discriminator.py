@@ -33,7 +33,8 @@ class FCDiscriminator(nn.Module):
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.Conv(self.ndf * 8, (4, 4), strides=2, padding=1)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.avg_pool(x, (7, 7), strides=(7, 7))  # floor-mode window
+        k = (min(7, x.shape[1]), min(7, x.shape[2]))  # floor-mode window,
+        x = nn.avg_pool(x, k, strides=k)              # clamped for small inputs
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(2)(x)
 

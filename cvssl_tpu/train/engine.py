@@ -202,10 +202,14 @@ class Engine:
 # The full training loop (reference ``train()`` parity)
 # ---------------------------------------------------------------------------
 
-def build_2d_data(cfg: TrainConfig, supervised_only: bool):
+def build_2d_data(cfg: TrainConfig, supervised_only: bool,
+                  transform_name: str = "default"):
     """Datasets + sampler per the reference recipe."""
     rng = np.random.default_rng(cfg.seed)
-    transform = T.RandomGenerator(cfg.patch_size, rng)
+    if transform_name == "weak_strong":
+        transform = T.WeakStrongAugment(cfg.patch_size, rng)
+    else:
+        transform = T.RandomGenerator(cfg.patch_size, rng)
     if supervised_only:
         train_ds = SliceDataset(cfg.root_path, "train",
                                 num=cfg.labeled_slices, transform=transform)
@@ -230,8 +234,8 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     writer = MetricsWriter(os.path.join(snapshot, "log"))
     logger.info("config: %s", cfg)
 
-    supervised_only = cfg.method == "supervised"
-    train_ds, sampler, val_ds = build_2d_data(cfg, supervised_only)
+    train_ds, sampler, val_ds = build_2d_data(
+        cfg, engine.method.supervised_only, engine.method.transform)
     pipe = DataPipeline(train_ds, sampler, num_workers=cfg.num_workers)
     stream = pipe.stream()
 

@@ -47,6 +47,9 @@ class Method:
     name = "base"
     model_names: Tuple[str, ...] = ("model",)
     teacher_names: Tuple[str, ...] = ()      # models that get an EMA teacher
+    adversarial_models: Tuple[str, ...] = ()  # trained by loss_d (2nd phase)
+    transform: str = "default"               # default | weak_strong | weak+strong
+    supervised_only: bool = False            # labeled-only dataset, no 2-stream
 
     def __init__(self, cfg):
         self.cfg = cfg

@@ -1,0 +1,64 @@
+"""Uncertainty-aware mean teacher —
+``train_uncertainty_aware_mean_teacher_2D.py`` / ``_ViT_2D`` / ``_3D``.
+
+The reference's T=8 Monte-Carlo loop (4 sequential teacher forwards on
+repeat(2)-tiled batches, ``:160-172``) becomes ONE batched forward over a
+T-times-tiled unlabeled batch — same math, 1 XLA dispatch instead of 4+1.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvssl_tpu.ops import losses, ramps
+from cvssl_tpu.train.methods.base import Method, register_method, split_batch
+
+
+@register_method("uamt")
+class UncertaintyAwareMeanTeacher(Method):
+    teacher_names = ("model",)
+
+    def loss(self, ctx, batch):
+        cfg = self.cfg
+        T = cfg.uncertainty_T
+        labeled_img, label, unlabeled_img = split_batch(cfg, batch)
+        u = unlabeled_img.shape[0]
+
+        noise = jnp.clip(
+            0.1 * jax.random.normal(ctx.next_rng(), unlabeled_img.shape),
+            -0.2, 0.2)
+        ema_inputs = unlabeled_img + noise
+
+        outputs = self.primary_logits(ctx.forward("model", batch["image"]))
+        ema_logits = self.primary_logits(
+            ctx.forward_teacher("model", ema_inputs))
+
+        # MC-dropout uncertainty: T noisy teacher passes, batched as one.
+        tiled = jnp.tile(unlabeled_img, (T,) + (1,) * (unlabeled_img.ndim - 1))
+        mc_noise = jnp.clip(
+            0.1 * jax.random.normal(ctx.next_rng(), tiled.shape), -0.2, 0.2)
+        mc_logits = self.primary_logits(
+            ctx.forward_teacher("model", tiled + mc_noise))
+        preds = jax.nn.softmax(mc_logits.astype(jnp.float32), axis=-1)
+        preds = preds.reshape((T, u) + preds.shape[1:]).mean(axis=0)
+        uncertainty = -jnp.sum(preds * jnp.log(preds + 1e-6), axis=-1,
+                               keepdims=True)
+
+        ce = losses.cross_entropy(outputs[:cfg.labeled_bs], label)
+        dice = losses.dice_loss(outputs[:cfg.labeled_bs], label,
+                                cfg.num_classes, softmax=True)
+        sup = 0.5 * (ce + dice)
+
+        w = ctx.consistency_weight()
+        dist = losses.softmax_mse_loss(outputs[cfg.labeled_bs:], ema_logits)
+        # threshold ramps on the RAW iteration (not //150):
+        # (0.75 + 0.25*rampup(iter, max_iter)) * ln(2)  (reference :187-189)
+        threshold = (0.75 + 0.25 * ramps.sigmoid_rampup(
+            ctx.step, cfg.max_iterations)) * jnp.log(2.0)
+        mask = (uncertainty < threshold).astype(jnp.float32)
+        cons = jnp.sum(mask * dist) / (2 * jnp.sum(mask) + 1e-16)
+
+        total = sup + w * cons
+        return total, {"loss": total, "loss_ce": ce, "loss_dice": dice,
+                       "consistency_loss": cons, "consistency_weight": w,
+                       "uncertainty_mask_frac": jnp.mean(mask)}

@@ -33,7 +33,7 @@ from cvssl_tpu.data import transforms as T
 from cvssl_tpu.data.datasets import SliceDataset, VolumeDataset
 from cvssl_tpu.data.pipeline import DataPipeline
 from cvssl_tpu.data.sampler import ShuffleBatchSampler, TwoStreamBatchSampler
-from cvssl_tpu.eval import val2d
+from cvssl_tpu.eval import val2d, val3d
 from cvssl_tpu.ops.ema import ema_decay_schedule, ema_update
 from cvssl_tpu.parallel import mesh as pmesh
 from cvssl_tpu.train.config import TrainConfig
@@ -48,7 +48,14 @@ class Engine:
         self.cfg = cfg
         self.method = method or get_method(cfg.method, cfg)
         self.modules = self.method.build_models()
-        self.mesh = pmesh.make_mesh(cfg.num_devices)
+        ndev = cfg.num_devices
+        if ndev is None:
+            # largest device count that divides the batch (data-parallel
+            # sharding needs batch % mesh == 0)
+            avail = len(jax.devices())
+            ndev = max(d for d in range(1, avail + 1)
+                       if cfg.batch_size % d == 0)
+        self.mesh = pmesh.make_mesh(ndev)
         self._txs = self.method.optimizers()
         self.tx = None  # built at init_state once params exist
         self._train_step = None
@@ -166,34 +173,51 @@ class Engine:
     # ------------------------------------------------------------------
     # prediction / validation
     # ------------------------------------------------------------------
-    def predict_fn(self, name: str, state: TrainState, teacher: bool = False):
-        """Batched argmax predictor for validation (weights captured)."""
+    def _predict_base(self, name: str, kind: str):
         module = self.modules[name]
         method = self.method
-
-        if name not in self._predict_fns:
+        key = (name, kind)
+        if key not in self._predict_fns:
             @jax.jit
             def _predict(params, batch_stats, x):
                 variables = {"params": params}
                 if batch_stats:
                     variables["batch_stats"] = batch_stats
                 out = module.apply(variables, x, train=False)
-                logits = method.primary_logits(out)
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            self._predict_fns[name] = _predict
+                logits = method.primary_logits(out).astype(jnp.float32)
+                if kind == "argmax":
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return jax.nn.softmax(logits, axis=-1)
+            self._predict_fns[key] = _predict
+        return self._predict_fns[key]
 
-        fn = self._predict_fns[name]
+    def _weights(self, name: str, state: TrainState, teacher: bool):
         if teacher:
-            params = state.teacher_params[name]
-            stats = state.teacher_batch_stats[name]
-        else:
-            params = state.params[name]
-            stats = state.batch_stats[name]
+            return state.teacher_params[name], state.teacher_batch_stats[name]
+        return state.params[name], state.batch_stats[name]
+
+    def predict_fn(self, name: str, state: TrainState, teacher: bool = False):
+        """Batched argmax predictor for 2D validation (weights captured)."""
+        fn = self._predict_base(name, "argmax")
+        params, stats = self._weights(name, state, teacher)
+        return lambda x: fn(params, stats, x)
+
+    def predict_probs_fn(self, name: str, state: TrainState,
+                         teacher: bool = False):
+        """Batched softmax predictor (3D sliding window)."""
+        fn = self._predict_base(name, "softmax")
+        params, stats = self._weights(name, state, teacher)
         return lambda x: fn(params, stats, x)
 
     def validate(self, state: TrainState, val_dataset, name: str = None):
-        """Per-class (dice, hd95) means over the val set."""
+        """Per-class (dice, hd95) means over the val set (2D slice loop or
+        3D sliding window per cfg.dim)."""
         name = name or self.method.eval_model_names()[0]
+        if self.cfg.dim == 3:
+            return val3d.test_all_case(
+                self.predict_probs_fn(name, state), val_dataset,
+                self.cfg.num_classes, self.cfg.patch_size,
+                stride_xy=64, stride_z=64)
         return val2d.evaluate(val_dataset, self.predict_fn(name, state),
                               self.cfg.num_classes, self.cfg.patch_size)
 
@@ -201,6 +225,28 @@ class Engine:
 # ---------------------------------------------------------------------------
 # The full training loop (reference ``train()`` parity)
 # ---------------------------------------------------------------------------
+
+def build_3d_data(cfg: TrainConfig, supervised_only: bool):
+    """BraTS-style recipe (``train_mean_teacher_3D.py:98-113``): RandomRotFlip
+    + RandomCrop(patch); labeled_num counts volumes; unlabeled pool is
+    total_num (reference hardcodes 250)."""
+    rng = np.random.default_rng(cfg.seed)
+    transform = T.Compose([T.RandomRotFlip3D(rng),
+                           T.RandomCrop(cfg.patch_size, rng=rng)])
+    if supervised_only:
+        train_ds = VolumeDataset(cfg.root_path, "train", num=cfg.labeled_num,
+                                 transform=transform)
+        sampler = ShuffleBatchSampler(len(train_ds), cfg.batch_size, rng)
+    else:
+        train_ds = VolumeDataset(cfg.root_path, "train", transform=transform)
+        total = cfg.total_num or len(train_ds)
+        labeled = list(range(cfg.labeled_num))
+        unlabeled = list(range(cfg.labeled_num, total))
+        sampler = TwoStreamBatchSampler(labeled, unlabeled, cfg.batch_size,
+                                        cfg.batch_size - cfg.labeled_bs, rng)
+    val_ds = VolumeDataset(cfg.root_path, "val")
+    return train_ds, sampler, val_ds
+
 
 def build_2d_data(cfg: TrainConfig, supervised_only: bool,
                   transform_name: str = "default"):
@@ -234,8 +280,12 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     writer = MetricsWriter(os.path.join(snapshot, "log"))
     logger.info("config: %s", cfg)
 
-    train_ds, sampler, val_ds = build_2d_data(
-        cfg, engine.method.supervised_only, engine.method.transform)
+    if cfg.dim == 3:
+        train_ds, sampler, val_ds = build_3d_data(
+            cfg, engine.method.supervised_only)
+    else:
+        train_ds, sampler, val_ds = build_2d_data(
+            cfg, engine.method.supervised_only, engine.method.transform)
     pipe = DataPipeline(train_ds, sampler, num_workers=cfg.num_workers)
     stream = pipe.stream()
 

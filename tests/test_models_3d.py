@@ -1,0 +1,105 @@
+"""Shape/gradient tests for the 3D model zoo."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvssl_tpu.models import net_factory_3d, available_3d
+
+
+def init_apply(model, x, train=False):
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "perturb": jax.random.PRNGKey(2)}, x, train=False)
+    if train:
+        out = model.apply(variables, x, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(3),
+                                "perturb": jax.random.PRNGKey(4)},
+                          mutable=["batch_stats"])
+        return variables, out[0]
+    return variables, model.apply(variables, x, train=False)
+
+
+class TestUNet3D:
+    def test_shapes(self):
+        m = net_factory_3d("unet_3D", in_chns=1, class_num=2)
+        x = jnp.zeros((1, 16, 16, 16, 1))
+        _, y = init_apply(m, x)
+        assert y.shape == (1, 16, 16, 16, 2)
+
+    def test_train_mode_runs(self):
+        m = net_factory_3d("unet_3D", in_chns=1, class_num=2)
+        x = jnp.zeros((1, 16, 16, 16, 1))
+        _, y = init_apply(m, x, train=True)
+        assert y.shape == (1, 16, 16, 16, 2)
+
+    def test_deep_supervision_variant(self):
+        m = net_factory_3d("unet_3D_dv_semi", in_chns=1, class_num=2)
+        x = jnp.zeros((1, 16, 16, 16, 1))
+        _, outs = init_apply(m, x, train=True)
+        assert len(outs) == 4
+        for o in outs:
+            assert o.shape == (1, 16, 16, 16, 2)
+
+
+class TestVNet:
+    def test_shapes(self):
+        m = net_factory_3d("vnet", in_chns=1, class_num=2)
+        x = jnp.zeros((1, 32, 32, 32, 1))
+        _, y = init_apply(m, x)
+        assert y.shape == (1, 32, 32, 32, 2)
+
+    def test_dropout_only_in_train(self):
+        m = net_factory_3d("vnet", in_chns=1, class_num=2)
+        x = jnp.array(np.random.default_rng(0).normal(
+            size=(1, 16, 16, 16, 1)), jnp.float32)
+        variables, y1 = init_apply(m, x)
+        y2 = m.apply(variables, x, train=False)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+class TestVoxResNet:
+    def test_shapes(self):
+        m = net_factory_3d("voxresnet", in_chns=1, class_num=2)
+        x = jnp.zeros((1, 16, 16, 16, 1))
+        _, y = init_apply(m, x)
+        assert y.shape == (1, 16, 16, 16, 2)
+
+
+class TestAttentionUNet:
+    def test_shapes(self):
+        m = net_factory_3d("attention_unet", in_chns=1, class_num=2)
+        x = jnp.zeros((1, 16, 16, 16, 1))
+        _, y = init_apply(m, x, train=True)
+        assert y.shape == (1, 16, 16, 16, 2)
+
+
+class TestUNETR:
+    def test_shapes_and_params(self):
+        m = net_factory_3d("unetr", in_chns=1, class_num=2)
+        x = jnp.zeros((1, 32, 32, 32, 1))
+        variables, y = init_apply(m, x)
+        assert y.shape == (1, 32, 32, 32, 2)
+        n = sum(int(np.prod(p.shape)) for p in
+                jax.tree_util.tree_leaves(variables["params"]))
+        assert n > 85_000_000  # ViT-base backbone scale
+
+    def test_gradients_flow(self):
+        m = net_factory_3d("unetr", in_chns=1, class_num=2)
+        x = jnp.ones((1, 32, 32, 32, 1))
+        variables = m.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(params):
+            return jnp.mean(m.apply({"params": params}, x, train=False) ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        total = sum(float(jnp.abs(v).sum())
+                    for v in jax.tree_util.tree_leaves(g))
+        assert total > 0
+
+
+def test_registry_3d():
+    av = available_3d()
+    for name in ["unet_3D", "unet_3D_dv_semi", "vnet", "voxresnet",
+                 "attention_unet", "unetr", "discriminator"]:
+        assert name in av

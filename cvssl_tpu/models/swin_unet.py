@@ -1,0 +1,315 @@
+"""SwinUnet (Flax, NHWC) — parity with
+``code/networks/swin_transformer_unet_skip_expand_decoder_sys.py`` (Swin-tiny
+encoder: embed 96, depths [2,2,2,2], heads [3,6,12,24], window 7, patch 4)
+and the ``code/networks/vision_transformer.py`` wrapper (1->3 channel repeat).
+
+Faithful quirks kept:
+* the ``depths_decoder`` argument is DEAD in the reference — ``BasicLayer_up``
+  is built from encoder ``depths`` (``swin_...sys.py:703-706``); same here.
+* blocks at 7x7 resolution collapse window partitioning (window = min(res),
+  shift = 0, ``:198-201``).
+
+TPU notes: tokens stay (B, H, W, C); window partition/reverse are reshapes;
+shifted windows are ``jnp.roll``; the shifted-window attention mask and
+relative-position index are numpy constants baked at trace time. Attention
+is a batched (B*nW, heads, 49, 49) einsum — MXU-batched matmuls.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+trunc_normal_init = nn.initializers.truncated_normal(0.02)
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int
+                   ) -> jnp.ndarray:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // (h * w // ws // ws)
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    """(ws*ws, ws*ws) lookup into the (2ws-1)^2 bias table (reference
+    ``:90-104``)."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij")).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, ws*ws, ws*ws) additive mask (0 / -100) for SW-MSA
+    (reference ``:217-240``)."""
+    img_mask = np.zeros((1, h, w, 1), np.float32)
+    slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in slices:
+        for wsl in slices:
+            img_mask[:, hs, wsl, :] = cnt
+            cnt += 1
+    mw = img_mask.reshape(1, h // ws, ws, w // ws, ws, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm semantics: scale by 1/keep)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                    (x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Dense(self.out)(x)
+        return nn.Dropout(self.drop, deterministic=not train)(x)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias (reference ``:63-155``)."""
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None, *,
+                 train: bool = False):
+        b_, n, c = x.shape
+        heads = self.num_heads
+        head_dim = self.dim // heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+
+        ws = self.window_size
+        table = self.param("relative_position_bias_table",
+                           trunc_normal_init,
+                           ((2 * ws - 1) * (2 * ws - 1), heads))
+        idx = relative_position_index(ws).reshape(-1)
+        bias = table[idx].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, heads, n, n) + \
+                jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(-1, heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        out = nn.Dense(self.dim, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
+class SwinBlock(nn.Module):
+    """(reference ``:169-289``). Input (B, H, W, C)."""
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        b, h, w, c = x.shape
+        ws, shift = self.window_size, self.shift_size
+        if min(h, w) <= ws:
+            ws, shift = min(h, w), 0
+
+        shortcut = x
+        x = nn.LayerNorm(name="norm1")(x)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        windows = window_partition(x, ws)
+        mask = shifted_window_mask(h, w, ws, shift) if shift > 0 else None
+        attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
+                               self.qk_scale, self.attn_drop, self.drop,
+                               name="attn")(windows, mask, train=train)
+        x = window_reverse(attn, ws, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+
+        x = shortcut + DropPath(self.drop_path)(x, train=train)
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                      name="mlp")(nn.LayerNorm(name="norm2")(x), train=train)
+        return x + DropPath(self.drop_path)(mlp_out, train=train)
+
+
+class PatchMerging(nn.Module):
+    """2x2 space-to-depth + LN + linear 4C->2C (reference ``:309-355``)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+class PatchExpand(nn.Module):
+    """linear C->2C + depth-to-space x2 + LN on C/2 (reference ``:358-382``)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = nn.Dense(2 * self.dim, use_bias=False, name="expand")(x)
+        x = x.reshape(b, h, w, 2, 2, self.dim // 2)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w,
+                                                  self.dim // 2)
+        return nn.LayerNorm(name="norm")(x)
+
+
+class FinalPatchExpandX4(nn.Module):
+    """linear C->16C + depth-to-space x4 + LN on C (reference ``:385-410``)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = nn.Dense(16 * self.dim, use_bias=False, name="expand")(x)
+        x = x.reshape(b, h, w, 4, 4, self.dim)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w, self.dim)
+        return nn.LayerNorm(name="norm")(x)
+
+
+class SwinUnet(nn.Module):
+    """Full SwinUnet (``SwinTransformerSys``, reference ``:599-790``, plus
+    the 1->3 channel repeat of ``vision_transformer.py:49-50``)."""
+    num_classes: int = 4
+    img_size: int = 224
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if x.shape[-1] == 1:
+            x = jnp.tile(x, (1,) * (x.ndim - 1) + (3,))
+
+        num_layers = len(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+
+        # patch embed: conv k=4 s=4 (+ LN)
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=self.patch_size, name="patch_embed")(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(name="patch_norm")(x)
+        if self.ape:
+            b, h, w, c = x.shape
+            pos = self.param("absolute_pos_embed", trunc_normal_init,
+                             (1, h, w, c))
+            x = x + pos
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+
+        # encoder
+        skips = []
+        for i in range(num_layers):
+            dim = int(self.embed_dim * 2 ** i)
+            skips.append(x)
+            for d in range(self.depths[i]):
+                x = SwinBlock(
+                    dim=dim, num_heads=self.num_heads[i],
+                    window_size=self.window_size,
+                    shift_size=0 if d % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale, drop=self.drop_rate,
+                    attn_drop=self.attn_drop_rate,
+                    drop_path=dpr[sum(self.depths[:i]) + d],
+                    name=f"enc_{i}_{d}")(x, train=train)
+            if i < num_layers - 1:
+                x = PatchMerging(dim, name=f"downsample_{i}")(x)
+        x = nn.LayerNorm(name="norm")(x)
+
+        # decoder (depths mirror the ENCODER depths — reference dead-arg)
+        for i in range(num_layers):
+            stage = num_layers - 1 - i
+            dim = int(self.embed_dim * 2 ** stage)
+            if i == 0:
+                x = PatchExpand(dim, name="up_0")(x)
+            else:
+                # reference: torch.cat([x, x_downsample[3-inx]]) where
+                # x_downsample[k] is the INPUT to encoder stage k (:764-767)
+                x = jnp.concatenate([x, skips[stage]], axis=-1)
+                x = nn.Dense(dim, name=f"concat_back_dim_{i}")(x)
+                for d in range(self.depths[stage]):
+                    x = SwinBlock(
+                        dim=dim, num_heads=self.num_heads[stage],
+                        window_size=self.window_size,
+                        shift_size=0 if d % 2 == 0 else self.window_size // 2,
+                        mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                        qk_scale=self.qk_scale, drop=self.drop_rate,
+                        attn_drop=self.attn_drop_rate,
+                        drop_path=dpr[sum(self.depths[:stage]) + d],
+                        name=f"dec_{i}_{d}")(x, train=train)
+                if i < num_layers - 1:
+                    x = PatchExpand(dim, name=f"up_{i}")(x)
+        x = nn.LayerNorm(name="norm_up")(x)
+
+        x = FinalPatchExpandX4(self.embed_dim, name="final_up")(x)
+        return nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                       name="output")(x)

@@ -1,12 +1,16 @@
-"""Benchmark: mean-teacher 2D UNet training throughput on ACDC's flagship
-config (batch 24, 256^2 patches, 4 classes) — north-star metric
-"ACDC slices/sec/chip (train)".
+"""Benchmark: mean-teacher 2D UNet training throughput on the flagship ACDC
+config (batch 24 = 12 labeled + 12 unlabeled, 256^2 patches, 4 classes) —
+north-star metric "ACDC slices/sec/chip (train)".
+
+Uses the production training path: dataset resident in HBM, two-stream
+sampling on host (indices only cross the wire), augmentation + model step as
+one jitted XLA program per iteration (``Engine.train_step_indices``).
 
 Baseline: the reference publishes no numbers (BASELINE.md); the PyTorch
-single-GPU baseline for this exact config (UNet fwd+bwd x2-model mean
-teacher, batch 24 @ 256^2, V100-class GPU) is ~100 slices/sec — recorded as
-BASELINE_SLICES_PER_SEC and used for vs_baseline until a measured reference
-checkpoint exists.
+single-GPU baseline for this config (UNet fwd+bwd + teacher fwd, batch 24 @
+256^2, V100-class GPU) is ~100 slices/sec — recorded as
+BASELINE_SLICES_PER_SEC for vs_baseline until a measured reference run
+exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -18,12 +22,34 @@ import time
 import numpy as np
 
 BASELINE_SLICES_PER_SEC = 100.0
-WARMUP_STEPS = 3
-MEASURE_STEPS = 30
+WARMUP_STEPS = 5
+MEASURE_STEPS = 200
+
+ACDC_TRAIN_SLICES = 1312
+ACDC_LABELED_SLICES = 136  # labeled_num 7
+
+
+class _SyntheticACDC:
+    """In-memory stand-in with ACDC's slice count and geometry."""
+
+    def __init__(self, n=ACDC_TRAIN_SLICES, shape=(232, 256)):
+        self._rng = np.random.default_rng(0)
+        self._shape = shape
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        r = np.random.default_rng(i)
+        return {"image": r.normal(0.5, 0.2, self._shape).astype(np.float32),
+                "label": r.integers(0, 4, self._shape).astype(np.uint8)}
 
 
 def main():
     import jax
+    from cvssl_tpu.data.device_store import DeviceSliceStore
+    from cvssl_tpu.data.sampler import TwoStreamBatchSampler
     from cvssl_tpu.train.config import TrainConfig
     from cvssl_tpu.train.engine import Engine
 
@@ -31,24 +57,31 @@ def main():
     cfg = TrainConfig(
         method="mean_teacher", model="unet", num_classes=4,
         batch_size=batch_size, labeled_bs=12, patch_size=(256, 256),
-        labeled_slices_override=12, num_devices=1)
+        labeled_slices_override=ACDC_LABELED_SLICES, num_devices=None)
     engine = Engine(cfg)
 
-    rng = np.random.default_rng(0)
-    batch = {
-        "image": rng.normal(size=(batch_size, 256, 256, 1)).astype(np.float32),
-        "label": rng.integers(0, 4, (batch_size, 256, 256)).astype(np.int32),
-        "idx": np.arange(batch_size, dtype=np.int32),
-    }
-    state = engine.init_state(jax.random.PRNGKey(0), batch)
+    store = DeviceSliceStore(_SyntheticACDC(), cfg.patch_size)
+    engine.attach_store(store)
+    sampler = TwoStreamBatchSampler(
+        list(range(ACDC_LABELED_SLICES)),
+        list(range(ACDC_LABELED_SLICES, ACDC_TRAIN_SLICES)),
+        batch_size, batch_size - cfg.labeled_bs,
+        rng=np.random.default_rng(0))
+    stream = sampler.epochs()
+
+    init_batch = {
+        "image": np.zeros((batch_size, 256, 256, 1), np.float32),
+        "label": np.zeros((batch_size, 256, 256), np.int32),
+        "idx": np.arange(batch_size, dtype=np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(cfg.seed), init_batch)
 
     for _ in range(WARMUP_STEPS):
-        state, metrics = engine.train_step(state, batch)
+        state, metrics = engine.train_step_indices(state, next(stream))
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
-        state, metrics = engine.train_step(state, batch)
+        state, metrics = engine.train_step_indices(state, next(stream))
     jax.block_until_ready(metrics["loss"])
     elapsed = time.perf_counter() - t0
 

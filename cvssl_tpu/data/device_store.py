@@ -1,0 +1,123 @@
+"""Device-resident dataset + on-device augmentation.
+
+The reference streams every batch host->GPU through a DataLoader
+(``train_fully_supervised_2D.py:84-85``). On TPU the whole 2D training set
+fits in HBM (ACDC: 1312 x 256^2 f32 = 172 MB), so the TPU-native pipeline is:
+
+1. one-time upload of all (pre-zoomed) slices,
+2. per step, transfer ONLY the batch indices (bytes, not megabytes),
+3. gather + geometric augmentation JITTED INTO THE TRAIN STEP — the
+   reference's ``RandomGenerator`` (50% rot90+flip, else 50% rotate ±20°,
+   ``dataset.py:406-425``) becomes gathers/rolls on the VPU.
+
+Deviation (documented): the reference augments at native slice size then
+zooms to the patch; here slices are pre-zoomed once (order 0, same
+interpolation) and rot90/flip — which commute with resize — plus the ±20°
+nearest rotation run on the zoomed grid.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+
+class DeviceSliceStore:
+    """All train slices resident on device, pre-zoomed to patch size."""
+
+    def __init__(self, dataset, patch_size: Tuple[int, int],
+                 image_dtype=jnp.bfloat16):
+        n = len(dataset)
+        h, w = patch_size
+        images = np.zeros((n, h, w), np.float32)
+        labels = np.zeros((n, h, w), np.uint8)
+        for i in range(n):
+            sample = dataset[i]
+            img, lab = sample["image"], sample["label"]
+            zh, zw = h / img.shape[0], w / img.shape[1]
+            images[i] = ndimage.zoom(img, (zh, zw), order=0)
+            labels[i] = ndimage.zoom(lab, (zh, zw), order=0)
+        self.images = jax.device_put(jnp.asarray(images, image_dtype))
+        self.labels = jax.device_put(jnp.asarray(labels, jnp.uint8))
+        self.patch_size = patch_size
+
+    def arrays(self):
+        return {"images": self.images, "labels": self.labels}
+
+
+def _rot90_k(img, k):
+    """rot90 by traced k in {0..3} (square images)."""
+    return jax.lax.switch(k, [
+        lambda x: x,
+        lambda x: jnp.rot90(x, 1),
+        lambda x: jnp.rot90(x, 2),
+        lambda x: jnp.rot90(x, 3)], img)
+
+
+def _flip_axis(img, axis):
+    return jax.lax.cond(axis == 0, lambda x: x[::-1, :], lambda x: x[:, ::-1],
+                        img)
+
+
+def _rotate_nearest(img, angle_deg, is_label):
+    """scipy ndimage.rotate(order=0, reshape=False, cval=0) equivalent:
+    inverse-map output coords through the rotation about the center, nearest
+    neighbor, zero fill."""
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    theta = -angle_deg * jnp.pi / 180.0  # inverse rotation
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ys = cos * (yy - cy) - sin * (xx - cx) + cy
+    xs = sin * (yy - cy) + cos * (xx - cx) + cx
+    yi = jnp.round(ys).astype(jnp.int32)
+    xi = jnp.round(xs).astype(jnp.int32)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    yi = jnp.clip(yi, 0, h - 1)
+    xi = jnp.clip(xi, 0, w - 1)
+    out = img[yi, xi]
+    return jnp.where(valid, out, jnp.zeros((), img.dtype))
+
+
+def _augment_one(img, lab, rng):
+    """The reference RandomGenerator branch structure: if u1 > .5 ->
+    rot90+flip; elif u2 > .5 -> rotate U{-20..19} (``dataset.py:415-419``)."""
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    u1 = jax.random.uniform(k1)
+    u2 = jax.random.uniform(k2)
+    k = jax.random.randint(k3, (), 0, 4)
+    axis = jax.random.randint(k4, (), 0, 2)
+    angle = jax.random.randint(k5, (), -20, 20).astype(jnp.float32)
+
+    def rotflip(args):
+        i, l = args
+        return (_flip_axis(_rot90_k(i, k), axis),
+                _flip_axis(_rot90_k(l, k), axis))
+
+    def rotate(args):
+        i, l = args
+        return (_rotate_nearest(i, angle, False),
+                _rotate_nearest(l, angle, True))
+
+    def second(args):
+        return jax.lax.cond(u2 > 0.5, rotate, lambda a: a, args)
+
+    return jax.lax.cond(u1 > 0.5, rotflip, second, (img, lab))
+
+
+def gather_augment(images, labels, indices, rng, augment: bool = True):
+    """Jitted batch assembly: gather rows, per-sample augmentation, NHWC
+    float32 image + int32 label (collate contract of
+    ``cvssl_tpu.data.pipeline``)."""
+    img = images[indices].astype(jnp.float32)
+    lab = labels[indices].astype(jnp.int32)
+    if augment:
+        rngs = jax.random.split(rng, indices.shape[0])
+        img, lab = jax.vmap(_augment_one)(img, lab, rngs)
+    return {"image": img[..., None], "label": lab,
+            "idx": indices.astype(jnp.int32)}

@@ -48,6 +48,9 @@ class TrainConfig:
     dan_lr: float = 1e-4               # discriminator Adam LR
 
     # engine
+    device_data: bool = True           # 2D: dataset resident in HBM,
+                                       # augmentation jitted into the step
+    log_every: int = 20
     val_every: int = 200
     ckpt_every: int = 3000
     num_workers: int = 8

@@ -59,6 +59,8 @@ class Engine:
         self._txs = self.method.optimizers()
         self.tx = None  # built at init_state once params exist
         self._train_step = None
+        self._train_step_indexed = None
+        self.store = None  # optional DeviceSliceStore
         self._predict_fns: Dict[str, callable] = {}
 
     # ------------------------------------------------------------------
@@ -99,6 +101,10 @@ class Engine:
     # the jitted step
     # ------------------------------------------------------------------
     def _build_train_step(self):
+        return functools.partial(jax.jit, donate_argnums=(0,))(
+            self._build_train_step_body())
+
+    def _build_train_step_body(self):
         cfg, method, modules = self.cfg, self.method, self.modules
         tx = self.tx
         adv_names = tuple(getattr(method, "adversarial_models", ()))
@@ -127,7 +133,6 @@ class Engine:
             loss, metrics = method.loss_d(ctx, batch)
             return loss, (metrics, ctx.stats)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def step_fn(state: TrainState, batch: dict):
             rng, g_rng, d_rng = jax.random.split(state.rng, 3)
             main_params = {n: state.params[n] for n in main_names}
@@ -170,6 +175,35 @@ class Engine:
             self._train_step = self._build_train_step()
         return self._train_step(state, pmesh.shard_batch(self.mesh, batch))
 
+    # -- device-store path: only indices cross the host boundary ----------
+    def attach_store(self, store):
+        self.store = store
+
+    def _build_indexed_step(self):
+        from cvssl_tpu.data.device_store import gather_augment
+        base_step = self._build_train_step_body()
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state, images, labels, indices):
+            rng, aug_rng = jax.random.split(state.rng)
+            batch = gather_augment(images, labels, indices, aug_rng)
+            state = state.replace(rng=rng)
+            return base_step(state, batch)
+
+        return step_fn
+
+    def train_step_indices(self, state: TrainState, indices):
+        """One step from the device-resident store; transfers only ~B int32s.
+        Augmentation (rot90/flip/rotate) runs inside the same XLA program as
+        the model step."""
+        assert self.store is not None, "attach_store() first"
+        if self._train_step_indexed is None:
+            self._train_step_indexed = self._build_indexed_step()
+        idx = jax.device_put(np.asarray(indices, np.int32),
+                             pmesh.batch_sharding(self.mesh))
+        return self._train_step_indexed(state, self.store.images,
+                                        self.store.labels, idx)
+
     # ------------------------------------------------------------------
     # prediction / validation
     # ------------------------------------------------------------------
@@ -186,7 +220,9 @@ class Engine:
                 out = module.apply(variables, x, train=False)
                 logits = method.primary_logits(out).astype(jnp.float32)
                 if kind == "argmax":
-                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    # uint8 keeps the device->host fetch 4x smaller (D2H is
+                    # the expensive direction on tunneled TPUs)
+                    return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
                 return jax.nn.softmax(logits, axis=-1)
             self._predict_fns[key] = _predict
         return self._predict_fns[key]
@@ -249,10 +285,13 @@ def build_3d_data(cfg: TrainConfig, supervised_only: bool):
 
 
 def build_2d_data(cfg: TrainConfig, supervised_only: bool,
-                  transform_name: str = "default"):
-    """Datasets + sampler per the reference recipe."""
+                  transform_name: str = "default", raw: bool = False):
+    """Datasets + sampler per the reference recipe. ``raw=True`` skips the
+    host transform (device-store path: augmentation runs on device)."""
     rng = np.random.default_rng(cfg.seed)
-    if transform_name == "weak_strong":
+    if raw:
+        transform = None
+    elif transform_name == "weak_strong":
         transform = T.WeakStrongAugment(cfg.patch_size, rng)
     else:
         transform = T.RandomGenerator(cfg.patch_size, rng)
@@ -280,16 +319,33 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     writer = MetricsWriter(os.path.join(snapshot, "log"))
     logger.info("config: %s", cfg)
 
+    use_store = (cfg.dim == 2 and cfg.device_data and
+                 engine.method.transform == "default")
     if cfg.dim == 3:
         train_ds, sampler, val_ds = build_3d_data(
             cfg, engine.method.supervised_only)
     else:
         train_ds, sampler, val_ds = build_2d_data(
-            cfg, engine.method.supervised_only, engine.method.transform)
-    pipe = DataPipeline(train_ds, sampler, num_workers=cfg.num_workers)
-    stream = pipe.stream()
+            cfg, engine.method.supervised_only, engine.method.transform,
+            raw=use_store)
 
-    first = next(stream)
+    if use_store:
+        from cvssl_tpu.data.device_store import DeviceSliceStore
+        store = DeviceSliceStore(train_ds, cfg.patch_size)
+        engine.attach_store(store)
+        index_stream = sampler.epochs()
+        logger.info("device-resident dataset: %d slices in HBM",
+                    len(train_ds))
+        b, (h, w) = cfg.batch_size, cfg.patch_size
+        first = {"image": np.zeros((b, h, w, 1), np.float32),
+                 "label": np.zeros((b, h, w), np.int32),
+                 "idx": np.arange(b, dtype=np.int32)}
+        stream = None
+    else:
+        pipe = DataPipeline(train_ds, sampler, num_workers=cfg.num_workers)
+        stream = pipe.stream()
+        first = next(stream)
+
     rng = jax.random.PRNGKey(cfg.seed)
     state = engine.init_state(rng, first)
 
@@ -307,12 +363,16 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
 
     it = int(state.step)
     while it < max_iterations:
-        state, metrics = engine.train_step(state, batch)
-        batch = next(stream)
+        if use_store:
+            state, metrics = engine.train_step_indices(
+                state, next(index_stream))
+        else:
+            state, metrics = engine.train_step(state, batch)
+            batch = next(stream)
         it += 1
         images_seen += cfg.batch_size
 
-        if it % 20 == 0 or it == 1:
+        if it % cfg.log_every == 0 or it == 1:
             host = {k: float(v) for k, v in jax.device_get(metrics).items()}
             writer.add_scalars({f"info/{k}": v for k, v in host.items()}, it)
             logger.info("iteration %d : %s", it, " ".join(

@@ -1,0 +1,89 @@
+"""Device-resident data store + on-device augmentation tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from cvssl_tpu.data import device_store as ds
+
+
+class FakeDataset:
+    def __init__(self, n=8, shape=(48, 40)):
+        r = np.random.default_rng(0)
+        self.items = [{"image": r.normal(size=shape).astype(np.float32),
+                       "label": r.integers(0, 4, shape).astype(np.uint8)}
+                      for _ in range(n)]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+class TestStore:
+    def test_prezoom_shapes(self):
+        store = ds.DeviceSliceStore(FakeDataset(), (32, 32))
+        assert store.images.shape == (8, 32, 32)
+        assert store.labels.shape == (8, 32, 32)
+        assert store.labels.dtype == jnp.uint8
+
+    def test_gather_no_augment_matches_host_zoom(self):
+        data = FakeDataset()
+        store = ds.DeviceSliceStore(data, (32, 32))
+        batch = ds.gather_augment(store.images, store.labels,
+                                  jnp.array([0, 3]), jax.random.PRNGKey(0),
+                                  augment=False)
+        want = ndimage.zoom(data[0]["image"], (32 / 48, 32 / 40), order=0)
+        got = np.asarray(batch["image"][0, ..., 0])
+        np.testing.assert_allclose(got, want.astype(np.float32), atol=0.01)
+        assert batch["label"].dtype == jnp.int32
+
+
+class TestRotateNearest:
+    def test_matches_scipy_order0(self):
+        img = np.random.default_rng(0).normal(size=(33, 33)).astype(np.float32)
+        for angle in [-19, -7, 0, 5, 13]:
+            want = ndimage.rotate(img, angle, order=0, reshape=False)
+            got = np.asarray(ds._rotate_nearest(jnp.array(img),
+                                                jnp.float32(angle), False))
+            # nearest-neighbor ties can differ at rounding boundaries —
+            # demand near-total agreement, not bit equality
+            agree = np.mean(got == want)
+            assert agree > 0.93, (angle, agree)
+
+    def test_label_values_preserved(self):
+        lab = np.random.default_rng(0).integers(0, 4, (32, 32))
+        got = np.asarray(ds._rotate_nearest(jnp.array(lab, jnp.int32),
+                                            jnp.float32(15), True))
+        assert set(np.unique(got)) <= {0, 1, 2, 3}
+
+
+class TestAugmentBranches:
+    def test_rot90_flip_preserves_value_multiset(self):
+        img = jnp.arange(64.0).reshape(8, 8)
+        out = ds._flip_axis(ds._rot90_k(img, jnp.int32(1)), jnp.int32(0))
+        assert sorted(np.asarray(out).ravel()) == sorted(
+            np.asarray(img).ravel())
+
+    def test_augment_batch_statistics(self):
+        # over many draws, ~50% identical-or-rotflip vs rotate branch;
+        # just verify shapes, dtype and finiteness under jit
+        store = ds.DeviceSliceStore(FakeDataset(), (32, 32))
+        f = jax.jit(lambda idx, rng: ds.gather_augment(
+            store.images, store.labels, idx, rng))
+        batch = f(jnp.arange(8), jax.random.PRNGKey(0))
+        assert batch["image"].shape == (8, 32, 32, 1)
+        assert np.isfinite(np.asarray(batch["image"])).all()
+
+    def test_labels_transform_with_images(self):
+        # image==label pattern: any geometric transform must keep them equal
+        img = np.tile(np.arange(32, dtype=np.float32), (32, 1))
+        store_img = jnp.stack([jnp.array(img)] * 4)
+        store_lab = jnp.stack([jnp.array(img, jnp.int32).astype(jnp.uint8)] * 4)
+        batch = ds.gather_augment(store_img, store_lab, jnp.arange(4),
+                                  jax.random.PRNGKey(7))
+        im = np.asarray(batch["image"][..., 0])
+        lb = np.asarray(batch["label"]).astype(np.float32)
+        # clip: label was uint8 so compare where image is integral
+        np.testing.assert_allclose(im, lb, atol=1e-5)

@@ -29,6 +29,34 @@ def two_phase_lr(base_lr: float, max_iterations: int, drop_to: float = 1e-4):
     return schedule
 
 
+def two_phase_poly_lr(base_lr: float, max_iterations: int,
+                      drop_to: float = 1e-4, power: float = 0.9):
+    """The contrastive trainers' exact LR rule
+    (``train_Contrastive_Cross_CNN_ViT_2D.py:280-284``): poly until 50% of
+    iterations, then restart from ``drop_to`` with a half-rate poly."""
+    half = max_iterations * 0.5
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        early = base_lr * jnp.maximum(
+            1.0 - step / float(max_iterations), 0.0) ** power
+        late = drop_to * jnp.maximum(
+            1.0 - (step - half) / float(max_iterations) * 0.5, 0.0) ** power
+        return jnp.where(step / max_iterations > 0.5, late, early)
+    return schedule
+
+
+def two_phase_reference_sgd(base_lr: float, max_iterations: int,
+                            momentum: float = 0.9,
+                            weight_decay: float = 1e-4):
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+        optax.scale_by_learning_rate(
+            two_phase_poly_lr(base_lr, max_iterations)),
+    )
+
+
 def reference_sgd(base_lr: float, max_iterations: int, momentum: float = 0.9,
                   weight_decay: float = 1e-4, power: float = 0.9):
     """SGD(momentum=0.9, weight_decay=1e-4) with poly LR — the reference's

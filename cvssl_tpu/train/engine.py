@@ -183,10 +183,13 @@ class Engine:
         from cvssl_tpu.data.device_store import gather_augment
         base_step = self._build_train_step_body()
 
+        augment = self.method.transform == "default"
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step_fn(state, images, labels, indices):
             rng, aug_rng = jax.random.split(state.rng)
-            batch = gather_augment(images, labels, indices, aug_rng)
+            batch = gather_augment(images, labels, indices, aug_rng,
+                                   augment=augment)
             state = state.replace(rng=rng)
             return base_step(state, batch)
 
@@ -293,6 +296,8 @@ def build_2d_data(cfg: TrainConfig, supervised_only: bool,
         transform = None
     elif transform_name == "weak_strong":
         transform = T.WeakStrongAugment(cfg.patch_size, rng)
+    elif transform_name == "weak":
+        transform = T.RandomGeneratorWeak(cfg.patch_size, rng)
     else:
         transform = T.RandomGenerator(cfg.patch_size, rng)
     if supervised_only:
@@ -320,7 +325,7 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     logger.info("config: %s", cfg)
 
     use_store = (cfg.dim == 2 and cfg.device_data and
-                 engine.method.transform == "default")
+                 engine.method.transform in ("default", "weak"))
     if cfg.dim == 3:
         train_ds, sampler, val_ds = build_3d_data(
             cfg, engine.method.supervised_only)

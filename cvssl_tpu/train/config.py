@@ -38,6 +38,8 @@ class TrainConfig:
     total_num: Optional[int] = None    # unlabeled pool size (3D: 250)
     ema_decay: float = 0.99
     consistency: float = 0.1
+    consistency1: float = 1.0          # contrastive_consistency weights
+    consistency2: float = 0.1
     consistency_rampup: float = 200.0
     consistency_type: str = "mse"
     conf_thresh: float = 0.8           # FixMatch confidence threshold

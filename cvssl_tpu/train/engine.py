@@ -160,6 +160,14 @@ class Engine:
                 teacher_params[name] = ema_update(
                     state.teacher_params[name], new_params[name], decay)
 
+            # in-params EMA links (e.g. contrastive_consistency's
+            # projector1 <- EMA(projector3), reference :536-541)
+            for dst, src in getattr(method, "param_ema_map", {}).items():
+                decay = ema_decay_schedule(state.step, cfg.ema_decay)
+                new_params = dict(new_params)
+                new_params[dst] = ema_update(new_params[dst],
+                                             new_params[src], decay)
+
             new_state = state.replace(
                 step=state.step + 1, params=new_params,
                 batch_stats=new_stats, opt_state=new_opt,
@@ -329,6 +337,19 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     if cfg.dim == 3:
         train_ds, sampler, val_ds = build_3d_data(
             cfg, engine.method.supervised_only)
+    elif engine.method.transform == "cta":
+        # CTAugment data path: the method owns the (host-side) policy state
+        rng_np = np.random.default_rng(cfg.seed)
+        transform, ops_weak, ops_strong = engine.method.create_transform(
+            cfg, rng_np)
+        train_ds = SliceDataset(cfg.root_path, "train", transform=transform,
+                                ops_weak=ops_weak, ops_strong=ops_strong)
+        labeled = list(range(cfg.labeled_slices))
+        unlabeled = list(range(cfg.labeled_slices, len(train_ds)))
+        sampler = TwoStreamBatchSampler(labeled, unlabeled, cfg.batch_size,
+                                        cfg.batch_size - cfg.labeled_bs,
+                                        rng_np)
+        val_ds = SliceDataset(cfg.root_path, "val")
     else:
         train_ds, sampler, val_ds = build_2d_data(
             cfg, engine.method.supervised_only, engine.method.transform,
@@ -366,16 +387,29 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     t0 = time.time()
     images_seen = 0
 
+    has_cta_hooks = hasattr(engine.method, "on_epoch_start")
+    iters_per_epoch = max(len(sampler), 1)
+    if has_cta_hooks:
+        engine.method.on_epoch_start(train_ds, int(state.step))
+
     it = int(state.step)
     while it < max_iterations:
         if use_store:
             state, metrics = engine.train_step_indices(
                 state, next(index_stream))
         else:
+            if has_cta_hooks:
+                engine.method.on_batch(batch, train_ds)
             state, metrics = engine.train_step(state, batch)
             batch = next(stream)
         it += 1
         images_seen += cfg.batch_size
+
+        if has_cta_hooks:
+            engine.method.on_step_metrics(metrics)
+            if it % iters_per_epoch == 0:
+                engine.method.on_epoch_end(train_ds)
+                engine.method.on_epoch_start(train_ds, it)
 
         if it % cfg.log_every == 0 or it == 1:
             host = {k: float(v) for k, v in jax.device_get(metrics).items()}

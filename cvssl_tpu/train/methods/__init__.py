@@ -7,7 +7,8 @@ from cvssl_tpu.train.methods import mean_teacher  # noqa: F401
 
 for _mod in ("uamt", "cps", "cross_teaching", "ict", "fixmatch",
              "co_training", "adversarial", "contrastive", "tripleview",
-             "cnn_meet_vit", "exam", "cct", "urpc", "adversarial_consistency"):
+             "cnn_meet_vit", "exam", "cct", "urpc", "adversarial_consistency",
+             "contrastive_consistency"):
     try:
         __import__(f"cvssl_tpu.train.methods.{_mod}")
     except ImportError:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,11 +46,28 @@ def compute_corners(shape, patch_size, stride_xy: int, stride_z: int
                     axis=-1).reshape(-1, 3).astype(np.int32)
 
 
+def gaussian_importance_map(patch_size, sigma_scale: float = 1.0 / 8):
+    """nnUNet's Gaussian patch weighting (``neural_network.py:274-290``):
+    centered Gaussian with sigma = patch * sigma_scale, max-normalized,
+    zeros clamped to the smallest nonzero value."""
+    tmp = np.zeros(patch_size)
+    center = tuple(s // 2 for s in patch_size)
+    tmp[center] = 1
+    from scipy.ndimage import gaussian_filter
+    sigmas = [s * sigma_scale for s in patch_size]
+    g = gaussian_filter(tmp, sigmas, mode="constant", cval=0)
+    g = g / g.max()
+    g[g == 0] = g[g != 0].min()
+    return g.astype(np.float32)
+
+
 def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
-                      batch: int):
+                      batch: int, weight_map: Optional[np.ndarray] = None):
     """Build a jitted (volume, corners) -> (score, cnt) accumulator.
-    predict_fn: (B, *patch, 1) -> (B, *patch, C) softmax probabilities."""
+    predict_fn: (B, *patch, 1) -> (B, *patch, C) softmax probabilities.
+    weight_map: optional (pd, ph, pw) importance weights (Gaussian mode)."""
     pd, ph, pw = patch_size
+    wmap = None if weight_map is None else jnp.asarray(weight_map)[..., None]
 
     @jax.jit
     def run(volume, corners):
@@ -66,6 +83,8 @@ def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
             score, cnt = carry
             patches = jax.vmap(extract)(corner_batch)[..., None]
             probs = predict_fn(patches)
+            if wmap is not None:
+                probs = probs * wmap[None]
 
             def add_one(i, sc):
                 score, cnt = sc
@@ -76,7 +95,8 @@ def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
                 score = jax.lax.dynamic_update_slice(score, old + probs[i],
                                                      idx)
                 oldc = jax.lax.dynamic_slice(cnt, idx, (pd, ph, pw, 1))
-                cnt = jax.lax.dynamic_update_slice(cnt, oldc + 1.0, idx)
+                add = 1.0 if wmap is None else wmap
+                cnt = jax.lax.dynamic_update_slice(cnt, oldc + add, idx)
                 return score, cnt
 
             score, cnt = jax.lax.fori_loop(0, corner_batch.shape[0], add_one,
@@ -103,14 +123,15 @@ class SlidingWindowEvaluator:
 
     def __init__(self, predict_fn: Callable, patch_size: Sequence[int],
                  num_classes: int, stride_xy: int, stride_z: int,
-                 patch_batch: int = 4):
+                 patch_batch: int = 4, gaussian: bool = False):
         self.predict_fn = predict_fn
         self.patch_size = tuple(patch_size)
         self.num_classes = num_classes
         self.stride_xy = stride_xy
         self.stride_z = stride_z
+        wmap = gaussian_importance_map(self.patch_size) if gaussian else None
         self._acc = _make_accumulator(predict_fn, self.patch_size,
-                                      num_classes, patch_batch)
+                                      num_classes, patch_batch, wmap)
 
     def _pad(self, image: np.ndarray):
         """Reference symmetric pad-to-patch (``val_3D.py:17-39``), then bucket

@@ -1,0 +1,108 @@
+"""Offline dataset preprocessing — parity with
+``code/dataloaders/acdc_data_processing.py`` and
+``code/dataloaders/brats_proprecessing.py``.
+
+NIfTI IO requires SimpleITK or nibabel (neither ships in this image); the
+functions degrade to clear errors when both are missing, while the pure-numpy
+transforms (normalization, bbox crop, intensity clip) are importable and
+tested regardless.
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import h5py
+import numpy as np
+
+
+def _read_nifti(path: str) -> np.ndarray:
+    try:
+        import SimpleITK as sitk
+        return sitk.GetArrayFromImage(sitk.ReadImage(path))
+    except ImportError:
+        pass
+    try:
+        import nibabel as nib
+        return np.asanyarray(nib.load(path).dataobj).T
+    except ImportError as e:
+        raise ImportError(
+            "NIfTI IO needs SimpleITK or nibabel (neither installed)") from e
+
+
+def minmax_normalize(image: np.ndarray) -> np.ndarray:
+    """(image - min) / (max - min) (``acdc_data_processing.py:21``)."""
+    lo, hi = image.min(), image.max()
+    return ((image - lo) / max(hi - lo, 1e-12)).astype(np.float32)
+
+
+def brain_bbox(data: np.ndarray, gt: np.ndarray):
+    """Crop to the nonzero brain bounding box
+    (``brats_proprecessing.py:10-35``)."""
+    mask = data != 0
+    idx = np.nonzero(mask)
+    sl = tuple(slice(int(i.min()), int(i.max()) + 1) for i in idx)
+    return data[sl], gt[sl]
+
+
+def intensity_clip(img: np.ndarray, percent: float = 0.999) -> np.ndarray:
+    """Clip above the ``percent`` cumulative-intensity watershed
+    (``brats_proprecessing.py:81-95`` valid_img)."""
+    values = np.sort(img.ravel())
+    watershed = values[min(int(np.ceil(percent * values.size)) - 1,
+                           values.size - 1)]
+    return np.clip(img, img.min(), watershed)
+
+
+def intensity_normalize_nonzero(volume: np.ndarray) -> np.ndarray:
+    """z-score over the nonzero region (``brats_proprecessing.py:62-78``)."""
+    pixels = volume[volume > 0]
+    return ((volume - pixels.mean()) / pixels.std()).astype(np.float32)
+
+
+def process_acdc(image_dir: str, out_dir: str) -> int:
+    """NIfTI volumes -> per-slice h5 (min-max normalized, gzip datasets)."""
+    os.makedirs(out_dir, exist_ok=True)
+    slice_num = 0
+    for case in sorted(glob.glob(os.path.join(image_dir, "*.nii.gz"))):
+        image = _read_nifti(case)
+        msk_path = case.replace("image", "label").replace(".nii.gz",
+                                                          "_gt.nii.gz")
+        if not os.path.exists(msk_path):
+            continue
+        mask = _read_nifti(msk_path)
+        image = minmax_normalize(image)
+        item = os.path.basename(case).split(".")[0]
+        for ind in range(image.shape[0]):
+            with h5py.File(os.path.join(out_dir,
+                                        f"{item}_slice_{ind}.h5"), "w") as f:
+                f.create_dataset("image", data=image[ind],
+                                 compression="gzip")
+                f.create_dataset("label", data=mask[ind], compression="gzip")
+            slice_num += 1
+    return slice_num
+
+
+def process_brats_volume(flair: np.ndarray, seg: np.ndarray):
+    """bbox crop + 99.9% clip + nonzero z-score + binarize labels
+    (``brats_proprecessing.py:97-110``)."""
+    img, lab = brain_bbox(flair, seg)
+    img = intensity_clip(img, 0.999)
+    img = intensity_normalize_nonzero(img)
+    lab = (lab > 0).astype(np.uint8)
+    return img, lab
+
+
+def process_brats(flair_dir: str, out_dir: str) -> int:
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for p in sorted(glob.glob(os.path.join(flair_dir, "*_flair.nii.gz"))):
+        img = _read_nifti(p)
+        lab = _read_nifti(p.replace("flair", "seg"))
+        img, lab = process_brats_volume(img, lab)
+        uid = os.path.basename(p).replace("_flair.nii.gz", "")
+        with h5py.File(os.path.join(out_dir, f"{uid}.h5"), "w") as f:
+            f.create_dataset("image", data=img, compression="gzip")
+            f.create_dataset("label", data=lab, compression="gzip")
+        n += 1
+    return n

@@ -39,7 +39,7 @@ def run_steps(method, n_steps=2, **cfg_kw):
 METHODS = ["supervised", "mean_teacher", "uamt", "cps", "cross_teaching",
            "ict", "deep_co_training", "fixmatch", "adversarial",
            "cnn_meet_vit", "tripleview", "exam_student_teacher",
-           "adversarial_consistency", "contrastive_cross"]
+           "adversarial_consistency", "contrastive_cross", "cct", "urpc"]
 
 
 @pytest.mark.parametrize("method", METHODS)

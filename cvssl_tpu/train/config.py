@@ -52,6 +52,7 @@ class TrainConfig:
     # engine
     device_data: bool = True           # 2D: dataset resident in HBM,
                                        # augmentation jitted into the step
+    fused_loss: bool = True            # Pallas fused Dice+CE on TPU
     log_every: int = 20
     val_every: int = 200
     ckpt_every: int = 3000

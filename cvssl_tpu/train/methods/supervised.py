@@ -14,7 +14,14 @@ class Supervised(Method):
     supervised_only = True
 
     def loss(self, ctx, batch):
+        import jax
         logits = self.primary_logits(ctx.forward("model", batch["image"]))
+        if getattr(self.cfg, "fused_loss", True) and \
+                jax.default_backend() == "tpu":
+            from cvssl_tpu.ops.pallas_kernels import fused_dice_ce_loss
+            total = fused_dice_ce_loss(logits, batch["label"],
+                                       self.cfg.num_classes)
+            return total, {"loss": total}
         ce = losses.cross_entropy(logits, batch["label"])
         dice = losses.dice_loss(logits, batch["label"],
                                 self.cfg.num_classes, softmax=True)

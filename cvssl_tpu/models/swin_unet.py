@@ -159,7 +159,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
         ws, shift = self.window_size, self.shift_size
         if min(h, w) <= ws:
@@ -245,6 +245,13 @@ class SwinUnet(nn.Module):
     drop_path_rate: float = 0.1
     ape: bool = False
     patch_norm: bool = True
+    use_checkpoint: bool = False  # remat blocks (reference use_checkpoint,
+                                  # vision_transformer.py:46)
+
+    def _block(self, **kw):
+        cls = nn.remat(SwinBlock, static_argnums=(2,)) \
+            if self.use_checkpoint else SwinBlock
+        return cls(**kw)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -272,7 +279,7 @@ class SwinUnet(nn.Module):
             dim = int(self.embed_dim * 2 ** i)
             skips.append(x)
             for d in range(self.depths[i]):
-                x = SwinBlock(
+                x = self._block(
                     dim=dim, num_heads=self.num_heads[i],
                     window_size=self.window_size,
                     shift_size=0 if d % 2 == 0 else self.window_size // 2,
@@ -280,7 +287,7 @@ class SwinUnet(nn.Module):
                     qk_scale=self.qk_scale, drop=self.drop_rate,
                     attn_drop=self.attn_drop_rate,
                     drop_path=dpr[sum(self.depths[:i]) + d],
-                    name=f"enc_{i}_{d}")(x, train=train)
+                    name=f"enc_{i}_{d}")(x, train)
             if i < num_layers - 1:
                 x = PatchMerging(dim, name=f"downsample_{i}")(x)
         x = nn.LayerNorm(name="norm")(x)
@@ -297,7 +304,7 @@ class SwinUnet(nn.Module):
                 x = jnp.concatenate([x, skips[stage]], axis=-1)
                 x = nn.Dense(dim, name=f"concat_back_dim_{i}")(x)
                 for d in range(self.depths[stage]):
-                    x = SwinBlock(
+                    x = self._block(
                         dim=dim, num_heads=self.num_heads[stage],
                         window_size=self.window_size,
                         shift_size=0 if d % 2 == 0 else self.window_size // 2,
@@ -305,7 +312,7 @@ class SwinUnet(nn.Module):
                         qk_scale=self.qk_scale, drop=self.drop_rate,
                         attn_drop=self.attn_drop_rate,
                         drop_path=dpr[sum(self.depths[:stage]) + d],
-                        name=f"dec_{i}_{d}")(x, train=train)
+                        name=f"dec_{i}_{d}")(x, train)
                 if i < num_layers - 1:
                     x = PatchExpand(dim, name=f"up_{i}")(x)
         x = nn.LayerNorm(name="norm_up")(x)

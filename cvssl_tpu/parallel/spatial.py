@@ -1,0 +1,125 @@
+"""Multi-chip 3D sliding-window inference.
+
+The reference's closest thing to scale-in-space is a single-GPU python loop
+over patches (``val_3D.py:49-70``). Here the patch-corner grid is SHARDED
+over the device mesh with ``shard_map``: every chip holds the (replicated)
+volume, accumulates softmax into its local score/count maps for its corner
+shard, and a final ``psum`` over ICI merges them — N-chip speedup for the
+dominant inference cost with two collectives per volume.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.9
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from cvssl_tpu.eval.val3d import compute_corners
+
+
+def _local_accumulate(predict_fn, volume, corners, patch_size, num_classes,
+                      batch):
+    pd, ph, pw = patch_size
+    d, h, w = volume.shape
+    score = jnp.zeros((d, h, w, num_classes), jnp.float32)
+    cnt = jnp.zeros((d, h, w, 1), jnp.float32)
+
+    def extract(c):
+        return jax.lax.dynamic_slice(volume, (c[0], c[1], c[2]),
+                                     (pd, ph, pw))
+
+    def step(carry, corner_batch):
+        score, cnt = carry
+        patches = jax.vmap(extract)(corner_batch)[..., None]
+        probs = predict_fn(patches)
+
+        def add_one(i, sc):
+            score, cnt = sc
+            c = corner_batch[i]
+            # corner (-1,-1,-1) marks padding: redirect to corner 0 with
+            # zero weight
+            is_pad = c[0] < 0
+            c = jnp.maximum(c, 0)
+            wgt = jnp.where(is_pad, 0.0, 1.0)
+            idx = (c[0], c[1], c[2], 0)
+            old = jax.lax.dynamic_slice(score, idx,
+                                        (pd, ph, pw, num_classes))
+            score = jax.lax.dynamic_update_slice(score,
+                                                 old + probs[i] * wgt, idx)
+            oldc = jax.lax.dynamic_slice(cnt, idx, (pd, ph, pw, 1))
+            cnt = jax.lax.dynamic_update_slice(cnt, oldc + wgt, idx)
+            return score, cnt
+
+        score, cnt = jax.lax.fori_loop(0, corner_batch.shape[0], add_one,
+                                       (score, cnt))
+        return (score, cnt), None
+
+    n = corners.shape[0]
+    n_batches = max((n + batch - 1) // batch, 1)
+    pad = n_batches * batch - n
+    if pad:
+        corners = jnp.concatenate(
+            [corners, jnp.full((pad, 3), -1, jnp.int32)])
+    (score, cnt), _ = jax.lax.scan(step, (score, cnt),
+                                   corners.reshape(n_batches, batch, 3))
+    return score, cnt
+
+
+class ShardedSlidingWindowEvaluator:
+    """Sliding-window inference with the corner grid split over a mesh."""
+
+    def __init__(self, predict_fn: Callable, patch_size: Sequence[int],
+                 num_classes: int, stride_xy: int, stride_z: int,
+                 mesh: Mesh, patch_batch: int = 2):
+        self.predict_fn = predict_fn
+        self.patch_size = tuple(patch_size)
+        self.num_classes = num_classes
+        self.stride_xy = stride_xy
+        self.stride_z = stride_z
+        self.mesh = mesh
+        self.ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        axis = mesh.axis_names[0]
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(axis)), out_specs=(P(), P()),
+            check_rep=False)
+        def run(volume, corners):
+            score, cnt = _local_accumulate(
+                predict_fn, volume, corners, self.patch_size, num_classes,
+                patch_batch)
+            return (jax.lax.psum(score, axis), jax.lax.psum(cnt, axis))
+
+        self._run = jax.jit(run)
+
+    def predict_volume(self, image: np.ndarray) -> np.ndarray:
+        p = self.patch_size
+        pads = []
+        for i in range(3):
+            total = max(p[i] - image.shape[i], 0)
+            pads.append((total // 2, total - total // 2))
+        padded = np.pad(image, pads, mode="constant", constant_values=0)
+        corners = compute_corners(padded.shape, p, self.stride_xy,
+                                  self.stride_z)
+        # pad corner count to a multiple of the mesh size with (-1) sentinels
+        n = corners.shape[0]
+        n_pad = math.ceil(n / self.ndev) * self.ndev
+        if n_pad != n:
+            corners = np.concatenate(
+                [corners, np.full((n_pad - n, 3), -1, np.int32)])
+        score, cnt = self._run(jnp.asarray(padded, jnp.float32),
+                               jnp.asarray(corners))
+        label_map = np.asarray(jnp.argmax(score / jnp.maximum(cnt, 1e-8),
+                                          axis=-1), dtype=np.int32)
+        sl = tuple(slice(p0, label_map.shape[i] - p1)
+                   for i, (p0, p1) in enumerate(pads))
+        return label_map[sl]

@@ -27,11 +27,16 @@ from cvssl_tpu.eval.val3d import compute_corners
 
 
 def _local_accumulate(predict_fn, volume, corners, patch_size, num_classes,
-                      batch):
+                      batch, axis=None):
     pd, ph, pw = patch_size
     d, h, w = volume.shape
     score = jnp.zeros((d, h, w, num_classes), jnp.float32)
     cnt = jnp.zeros((d, h, w, 1), jnp.float32)
+    if axis is not None:
+        # mark the accumulators as device-varying so the scan carry type
+        # matches after the corner-dependent updates (new shard_map VMA rule)
+        score = jax.lax.pvary(score, axis)
+        cnt = jax.lax.pvary(cnt, axis)
 
     def extract(c):
         return jax.lax.dynamic_slice(volume, (c[0], c[1], c[2]),
@@ -91,12 +96,11 @@ class ShardedSlidingWindowEvaluator:
 
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(axis)), out_specs=(P(), P()),
-            check_rep=False)
+            in_specs=(P(), P(axis)), out_specs=(P(), P()))
         def run(volume, corners):
             score, cnt = _local_accumulate(
                 predict_fn, volume, corners, self.patch_size, num_classes,
-                patch_batch)
+                patch_batch, axis=axis)
             return (jax.lax.psum(score, axis), jax.lax.psum(cnt, axis))
 
         self._run = jax.jit(run)

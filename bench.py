@@ -13,10 +13,13 @@ BASELINE_SLICES_PER_SEC for vs_baseline until a measured reference run
 exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--full`` additionally measures BraTS sliding-window inference
+(volumes/sec, 96^3 patches stride 64 over a 140x180x180 volume) to stderr.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -94,5 +97,37 @@ def main():
     }))
 
 
+def bench_sliding_window():
+    """Secondary metric (BASELINE.md): BraTS sliding-window volumes/sec."""
+    import jax
+    import jax.numpy as jnp
+    from cvssl_tpu.eval.val3d import SlidingWindowEvaluator
+    from cvssl_tpu.models import net_factory_3d
+
+    net = net_factory_3d("unet_3D", in_chns=1, class_num=2)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 96, 96, 96, 1)), train=False)
+
+    @jax.jit
+    def predict(x):
+        return jax.nn.softmax(
+            net.apply(variables, x, train=False).astype(jnp.float32), -1)
+
+    ev = SlidingWindowEvaluator(predict, (96, 96, 96), 2, 64, 64)
+    vol = np.random.default_rng(0).normal(
+        size=(140, 180, 180)).astype(np.float32)
+    ev.predict_volume(vol)  # compile
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        ev.predict_volume(vol)
+    vps = n / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "brats_sliding_window_volumes_per_sec",
+        "value": round(vps, 3), "unit": "volumes/sec"}), file=sys.stderr)
+
+
 if __name__ == "__main__":
     main()
+    if "--full" in sys.argv:
+        bench_sliding_window()

@@ -125,6 +125,91 @@ def convert_swin_checkpoint(torch_sd: Dict[str, np.ndarray], flax_params,
     return params, {"loaded": loaded, "skipped": skipped}
 
 
+def convert_swinunet_full(torch_sd: Dict[str, np.ndarray], flax_params,
+                          num_layers: int = 4, depths=(2, 2, 2, 2)):
+    """Convert a FULL SwinUnet (SwinTransformerSys) state dict — e.g. a
+    reference-trained checkpoint — including the decoder: ``layers_up``,
+    ``concat_back_dim``, ``norm_up``, final ``up`` and ``output`` head.
+    Returns (params, report)."""
+    import jax
+
+    td = dict(torch_sd)
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(flax_params))
+
+    def to_mut(d):
+        return {k: to_mut(v) for k, v in d.items()} if isinstance(d, dict) \
+            else d
+    params = to_mut(params)
+
+    entries = []
+    if "patch_embed.proj.weight" in td:
+        entries.append(("patch_embed/kernel",
+                        _conv(td["patch_embed.proj.weight"])))
+        entries.append(("patch_embed/bias", td["patch_embed.proj.bias"]))
+    if "patch_embed.norm.weight" in td:
+        entries.append(("patch_norm/scale", td["patch_embed.norm.weight"]))
+        entries.append(("patch_norm/bias", td["patch_embed.norm.bias"]))
+    for nk, fk in (("norm", "norm"), ("norm_up", "norm_up")):
+        if f"{nk}.weight" in td:
+            entries.append((f"{fk}/scale", td[f"{nk}.weight"]))
+            entries.append((f"{fk}/bias", td[f"{nk}.bias"]))
+
+    for i in range(num_layers):
+        for d in range(depths[i]):
+            entries += _block_entries(f"enc_{i}_{d}", td,
+                                      f"layers.{i}.blocks.{d}")
+        if f"layers.{i}.downsample.reduction.weight" in td:
+            entries.append((f"downsample_{i}/reduction/kernel",
+                            _linear(td[f"layers.{i}.downsample.reduction.weight"])))
+            entries.append((f"downsample_{i}/norm/scale",
+                            td[f"layers.{i}.downsample.norm.weight"]))
+            entries.append((f"downsample_{i}/norm/bias",
+                            td[f"layers.{i}.downsample.norm.bias"]))
+
+    # decoder
+    for j in range(num_layers):
+        stage = num_layers - 1 - j
+        if j == 0:
+            if "layers_up.0.expand.weight" in td:
+                entries.append(("up_0/expand/kernel",
+                                _linear(td["layers_up.0.expand.weight"])))
+                entries.append(("up_0/norm/scale",
+                                td["layers_up.0.norm.weight"]))
+                entries.append(("up_0/norm/bias", td["layers_up.0.norm.bias"]))
+            continue
+        if f"concat_back_dim.{j}.weight" in td:
+            entries.append((f"concat_back_dim_{j}/kernel",
+                            _linear(td[f"concat_back_dim.{j}.weight"])))
+            entries.append((f"concat_back_dim_{j}/bias",
+                            td[f"concat_back_dim.{j}.bias"]))
+        for d in range(depths[stage]):
+            entries += _block_entries(f"dec_{j}_{d}", td,
+                                      f"layers_up.{j}.blocks.{d}")
+        if f"layers_up.{j}.upsample.expand.weight" in td:
+            entries.append((f"up_{j}/expand/kernel",
+                            _linear(td[f"layers_up.{j}.upsample.expand.weight"])))
+            entries.append((f"up_{j}/norm/scale",
+                            td[f"layers_up.{j}.upsample.norm.weight"]))
+            entries.append((f"up_{j}/norm/bias",
+                            td[f"layers_up.{j}.upsample.norm.bias"]))
+
+    if "up.expand.weight" in td:
+        entries.append(("final_up/expand/kernel",
+                        _linear(td["up.expand.weight"])))
+        entries.append(("final_up/norm/scale", td["up.norm.weight"]))
+        entries.append(("final_up/norm/bias", td["up.norm.bias"]))
+    if "output.weight" in td:
+        entries.append(("output/kernel", _conv(td["output.weight"])))
+
+    loaded, skipped = 0, 0
+    for path, value in entries:
+        if _set(params, path.split("/"), value):
+            loaded += 1
+        else:
+            skipped += 1
+    return params, {"loaded": loaded, "skipped": skipped}
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth into numpy (handles the {'model': ...} wrapper)."""
     import torch

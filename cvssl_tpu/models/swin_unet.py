@@ -166,7 +166,7 @@ class SwinBlock(nn.Module):
             ws, shift = min(h, w), 0
 
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         windows = window_partition(x, ws)
@@ -180,7 +180,7 @@ class SwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path)(x, train=train)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                      name="mlp")(nn.LayerNorm(name="norm2")(x), train=train)
+                      name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), train=train)
         return x + DropPath(self.drop_path)(mlp_out, train=train)
 
 
@@ -196,7 +196,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
@@ -211,7 +211,7 @@ class PatchExpand(nn.Module):
         x = x.reshape(b, h, w, 2, 2, self.dim // 2)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w,
                                                   self.dim // 2)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class FinalPatchExpandX4(nn.Module):
@@ -224,7 +224,7 @@ class FinalPatchExpandX4(nn.Module):
         x = nn.Dense(16 * self.dim, use_bias=False, name="expand")(x)
         x = x.reshape(b, h, w, 4, 4, self.dim)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w, self.dim)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class SwinUnet(nn.Module):
@@ -265,7 +265,7 @@ class SwinUnet(nn.Module):
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=self.patch_size, name="patch_embed")(x)
         if self.patch_norm:
-            x = nn.LayerNorm(name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         if self.ape:
             b, h, w, c = x.shape
             pos = self.param("absolute_pos_embed", trunc_normal_init,
@@ -290,7 +290,7 @@ class SwinUnet(nn.Module):
                     name=f"enc_{i}_{d}")(x, train)
             if i < num_layers - 1:
                 x = PatchMerging(dim, name=f"downsample_{i}")(x)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
         # decoder (depths mirror the ENCODER depths — reference dead-arg)
         for i in range(num_layers):
@@ -315,7 +315,7 @@ class SwinUnet(nn.Module):
                         name=f"dec_{i}_{d}")(x, train)
                 if i < num_layers - 1:
                     x = PatchExpand(dim, name=f"up_{i}")(x)
-        x = nn.LayerNorm(name="norm_up")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_up")(x)
 
         x = FinalPatchExpandX4(self.embed_dim, name="final_up")(x)
         return nn.Conv(self.num_classes, (1, 1), use_bias=False,

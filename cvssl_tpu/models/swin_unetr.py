@@ -111,7 +111,7 @@ class SwinBlock3D(nn.Module):
                       for s, dim_ in zip(ws, (d, h, w)))
 
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         # pad each spatial dim up to a window multiple (MONAI behavior)
         pads = [(0, (-s) % ws[i]) for i, s in enumerate((d, h, w))]
         x = jnp.pad(x, [(0, 0)] + pads + [(0, 0)])
@@ -129,7 +129,7 @@ class SwinBlock3D(nn.Module):
         x = x[:, :d, :h, :w]
         x = shortcut + DropPath(self.drop_path)(x, train=train)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                      name="mlp")(nn.LayerNorm(name="norm2")(x), train=train)
+                      name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), train=train)
         return x + DropPath(self.drop_path)(mlp_out, train=train)
 
 
@@ -142,7 +142,7 @@ class PatchMerging3D(nn.Module):
         parts = [x[:, i::2, j::2, k::2] for i in range(2) for j in range(2)
                  for k in range(2)]
         x = jnp.concatenate(parts, axis=-1)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 

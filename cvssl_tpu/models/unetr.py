@@ -81,12 +81,12 @@ class _TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dropout_rate=self.dropout,
             deterministic=not train)(h, h)
         x = x + h
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.Dense(self.mlp_dim)(h)
         h = nn.gelu(h)
         h = nn.Dense(self.hidden)(h)

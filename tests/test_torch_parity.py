@@ -40,3 +40,77 @@ def test_unet_forward_matches_reference_torch():
         jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     fy = np.asarray(fy).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(fy, ty, atol=1e-5, rtol=1e-4)
+
+
+def _install_timm_stub():
+    """Minimal stand-ins for the timm symbols the reference imports (timm is
+    not installed here; these are behavior-equivalent one-liners)."""
+    import types
+    import collections.abc
+    import torch
+    import torch.nn as nn
+
+    def to_2tuple(x):
+        return tuple(x) if isinstance(x, collections.abc.Iterable) else (x, x)
+
+    def trunc_normal_(tensor, mean=0., std=1., a=-2., b=2.):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x  # eval-only parity tests
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    timm.models = models
+    models.layers = layers
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", models)
+    sys.modules.setdefault("timm.models.layers", layers)
+
+
+def test_swin_unet_forward_matches_reference_torch():
+    import torch
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, REFERENCE)
+    _install_timm_stub()
+    from networks.swin_transformer_unet_skip_expand_decoder_sys import (
+        SwinTransformerSys)  # reference code, run-only
+
+    from cvssl_tpu.models.swin_checkpoint import convert_swinunet_full
+    from cvssl_tpu.models.swin_unet import SwinUnet
+
+    tm = SwinTransformerSys(img_size=224, patch_size=4, in_chans=3,
+                            num_classes=4, embed_dim=96, depths=[2, 2, 2, 2],
+                            num_heads=[3, 6, 12, 24], window_size=7,
+                            drop_path_rate=0.0)
+    tm.eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()
+          if "attn_mask" not in k and "relative_position_index" not in k}
+
+    fm = SwinUnet(num_classes=4, drop_path_rate=0.0)
+    x1 = np.random.default_rng(0).normal(size=(1, 224, 224, 1)).astype(
+        np.float32)
+    variables = fm.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x1),
+                        train=False)
+    params, report = convert_swinunet_full(sd, variables["params"])
+    assert report["skipped"] == 0 and report["loaded"] > 200
+
+    with torch.no_grad():
+        ty = tm(torch.tensor(np.tile(x1.transpose(0, 3, 1, 2),
+                                     (1, 3, 1, 1)))).numpy()
+    fy = np.asarray(fm.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x1), train=False)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(fy, ty, atol=2e-5, rtol=1e-3)

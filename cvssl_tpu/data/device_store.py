@@ -30,7 +30,8 @@ class DeviceSliceStore:
     """All train slices resident on device, pre-zoomed to patch size."""
 
     def __init__(self, dataset, patch_size: Tuple[int, int],
-                 image_dtype=jnp.bfloat16):
+                 image_dtype=jnp.bfloat16, augment: bool = True):
+        self.augment = augment
         n = len(dataset)
         h, w = patch_size
         images = np.zeros((n, h, w), np.float32)
@@ -46,7 +47,12 @@ class DeviceSliceStore:
         self.patch_size = patch_size
 
     def arrays(self):
-        return {"images": self.images, "labels": self.labels}
+        return (self.images, self.labels)
+
+    def batch_fn(self, arrays, indices, rng):
+        images, labels = arrays
+        return gather_augment(images, labels, indices, rng,
+                              augment=self.augment)
 
 
 def _rot90_k(img, k):
@@ -120,4 +126,90 @@ def gather_augment(images, labels, indices, rng, augment: bool = True):
         rngs = jax.random.split(rng, indices.shape[0])
         img, lab = jax.vmap(_augment_one)(img, lab, rngs)
     return {"image": img[..., None], "label": lab,
+            "idx": indices.astype(jnp.int32)}
+
+
+# ---------------------------------------------------------------------------
+# 3D volumes (BraTS recipe: RandomRotFlip + RandomCrop, brats2019.py:80-148)
+# ---------------------------------------------------------------------------
+
+class DeviceVolumeStore:
+    """All train volumes resident in HBM, padded to a common shape (each at
+    least patch-sized, reference pad rule), with per-volume valid extents.
+    ``estimated_bytes`` lets the engine fall back to the host pipeline when
+    a dataset exceeds HBM headroom."""
+
+    def __init__(self, dataset, patch_size, image_dtype=jnp.bfloat16):
+        from cvssl_tpu.data.transforms import _pad_to_size
+        n = len(dataset)
+        vols, labs, shapes = [], [], []
+        for i in range(n):
+            s = dataset[i]
+            img = _pad_to_size(s["image"].astype(np.float32), patch_size)
+            lab = _pad_to_size(s["label"], patch_size)
+            vols.append(img)
+            labs.append(lab)
+            shapes.append(img.shape)
+        max_shape = tuple(int(max(sh[i] for sh in shapes)) for i in range(3))
+        images = np.zeros((n, *max_shape), np.float32)
+        labels = np.zeros((n, *max_shape), np.uint8)
+        for i, (v, l) in enumerate(zip(vols, labs)):
+            images[i, :v.shape[0], :v.shape[1], :v.shape[2]] = v
+            labels[i, :l.shape[0], :l.shape[1], :l.shape[2]] = l
+        self.images = jax.device_put(jnp.asarray(images, image_dtype))
+        self.labels = jax.device_put(jnp.asarray(labels, jnp.uint8))
+        self.shapes = jax.device_put(
+            jnp.asarray(np.asarray(shapes, np.int32)))
+        self.patch_size = tuple(patch_size)
+
+    @staticmethod
+    def estimated_bytes(dataset, patch_size, bytes_per_voxel: int = 3):
+        shape = np.maximum(np.asarray(dataset[0]["image"].shape), patch_size)
+        return int(len(dataset) * np.prod(shape) * bytes_per_voxel)
+
+    def arrays(self):
+        return (self.images, self.labels, self.shapes)
+
+    def batch_fn(self, arrays, indices, rng):
+        images, labels, shapes = arrays
+        return gather_crop_rotflip(images, labels, shapes, indices, rng,
+                                   self.patch_size)
+
+
+def _crop_rotflip_one(img, lab, shape, rng, patch):
+    """RandomCrop with a random corner inside the valid extent
+    (``brats2019.py:115-117``) then rot90(k)+flip in the first two axes
+    (``brats2019.py:131-148``; applied post-crop here — cubic patches keep
+    shapes static, documented deviation from the pre-crop order)."""
+    kd, kh, kw, kk, kax = jax.random.split(rng, 5)
+    d0 = jax.random.randint(kd, (), 0, shape[0] - patch[0] + 1)
+    h0 = jax.random.randint(kh, (), 0, shape[1] - patch[1] + 1)
+    w0 = jax.random.randint(kw, (), 0, shape[2] - patch[2] + 1)
+    ci = jax.lax.dynamic_slice(img, (d0, h0, w0), patch)
+    cl = jax.lax.dynamic_slice(lab, (d0, h0, w0), patch)
+    k = jax.random.randint(kk, (), 0, 4)
+    axis = jax.random.randint(kax, (), 0, 2)
+
+    def rot(x):
+        return jax.lax.switch(k, [
+            lambda v: v,
+            lambda v: jnp.rot90(v, 1, (0, 1)),
+            lambda v: jnp.rot90(v, 2, (0, 1)),
+            lambda v: jnp.rot90(v, 3, (0, 1))], x)
+
+    def flip(x):
+        return jax.lax.cond(axis == 0, lambda v: v[::-1],
+                            lambda v: v[:, ::-1], x)
+
+    return flip(rot(ci)), flip(rot(cl))
+
+
+def gather_crop_rotflip(images, labels, shapes, indices, rng, patch):
+    img = images[indices].astype(jnp.float32)
+    lab = labels[indices].astype(jnp.int32)
+    shp = shapes[indices]
+    rngs = jax.random.split(rng, indices.shape[0])
+    crop = jax.vmap(lambda i, l, s, r: _crop_rotflip_one(i, l, s, r, patch))
+    ci, cl = crop(img, lab, shp, rngs)
+    return {"image": ci[..., None], "label": cl,
             "idx": indices.astype(jnp.int32)}

@@ -188,32 +188,28 @@ class Engine:
         self.store = store
 
     def _build_indexed_step(self):
-        from cvssl_tpu.data.device_store import gather_augment
         base_step = self._build_train_step_body()
-
-        augment = self.method.transform == "default"
+        batch_fn = self.store.batch_fn
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step_fn(state, images, labels, indices):
+        def step_fn(state, arrays, indices):
             rng, aug_rng = jax.random.split(state.rng)
-            batch = gather_augment(images, labels, indices, aug_rng,
-                                   augment=augment)
+            batch = batch_fn(arrays, indices, aug_rng)
             state = state.replace(rng=rng)
             return base_step(state, batch)
 
         return step_fn
 
     def train_step_indices(self, state: TrainState, indices):
-        """One step from the device-resident store; transfers only ~B int32s.
-        Augmentation (rot90/flip/rotate) runs inside the same XLA program as
-        the model step."""
+        """One step from a device-resident store; transfers only ~B int32s.
+        Augmentation (2D rot90/flip/rotate; 3D crop+rotflip) runs inside the
+        same XLA program as the model step."""
         assert self.store is not None, "attach_store() first"
         if self._train_step_indexed is None:
             self._train_step_indexed = self._build_indexed_step()
         idx = jax.device_put(np.asarray(indices, np.int32),
                              pmesh.batch_sharding(self.mesh))
-        return self._train_step_indexed(state, self.store.images,
-                                        self.store.labels, idx)
+        return self._train_step_indexed(state, self.store.arrays(), idx)
 
     # ------------------------------------------------------------------
     # prediction / validation
@@ -273,13 +269,15 @@ class Engine:
 # The full training loop (reference ``train()`` parity)
 # ---------------------------------------------------------------------------
 
-def build_3d_data(cfg: TrainConfig, supervised_only: bool):
+def build_3d_data(cfg: TrainConfig, supervised_only: bool,
+                  raw: bool = False):
     """BraTS-style recipe (``train_mean_teacher_3D.py:98-113``): RandomRotFlip
     + RandomCrop(patch); labeled_num counts volumes; unlabeled pool is
-    total_num (reference hardcodes 250)."""
+    total_num (reference hardcodes 250). ``raw=True`` skips host transforms
+    (device-store path)."""
     rng = np.random.default_rng(cfg.seed)
-    transform = T.Compose([T.RandomRotFlip3D(rng),
-                           T.RandomCrop(cfg.patch_size, rng=rng)])
+    transform = None if raw else T.Compose(
+        [T.RandomRotFlip3D(rng), T.RandomCrop(cfg.patch_size, rng=rng)])
     if supervised_only:
         train_ds = VolumeDataset(cfg.root_path, "train", num=cfg.labeled_num,
                                  transform=transform)
@@ -332,11 +330,16 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     writer = MetricsWriter(os.path.join(snapshot, "log"))
     logger.info("config: %s", cfg)
 
-    use_store = (cfg.dim == 2 and cfg.device_data and
+    use_store = (cfg.device_data and
                  engine.method.transform in ("default", "weak"))
     if cfg.dim == 3:
+        if use_store:
+            from cvssl_tpu.data.device_store import DeviceVolumeStore
+            probe = VolumeDataset(cfg.root_path, "train")
+            use_store = (DeviceVolumeStore.estimated_bytes(
+                probe, cfg.patch_size) < 8 * 1024 ** 3)
         train_ds, sampler, val_ds = build_3d_data(
-            cfg, engine.method.supervised_only)
+            cfg, engine.method.supervised_only, raw=use_store)
     elif engine.method.transform == "cta":
         # CTAugment data path: the method owns the (host-side) policy state
         rng_np = np.random.default_rng(cfg.seed)
@@ -356,15 +359,21 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
             raw=use_store)
 
     if use_store:
-        from cvssl_tpu.data.device_store import DeviceSliceStore
-        store = DeviceSliceStore(train_ds, cfg.patch_size)
+        if cfg.dim == 3:
+            from cvssl_tpu.data.device_store import DeviceVolumeStore
+            store = DeviceVolumeStore(train_ds, cfg.patch_size)
+        else:
+            from cvssl_tpu.data.device_store import DeviceSliceStore
+            store = DeviceSliceStore(
+                train_ds, cfg.patch_size,
+                augment=(engine.method.transform == "default"))
         engine.attach_store(store)
         index_stream = sampler.epochs()
-        logger.info("device-resident dataset: %d slices in HBM",
+        logger.info("device-resident dataset: %d samples in HBM",
                     len(train_ds))
-        b, (h, w) = cfg.batch_size, cfg.patch_size
-        first = {"image": np.zeros((b, h, w, 1), np.float32),
-                 "label": np.zeros((b, h, w), np.int32),
+        b, ps = cfg.batch_size, tuple(cfg.patch_size)
+        first = {"image": np.zeros((b, *ps, 1), np.float32),
+                 "label": np.zeros((b, *ps), np.int32),
                  "idx": np.arange(b, dtype=np.int32)}
         stream = None
     else:

@@ -27,11 +27,15 @@ from scipy import ndimage
 
 
 class DeviceSliceStore:
-    """All train slices resident on device, pre-zoomed to patch size."""
+    """All train slices resident on device, pre-zoomed to patch size.
+    ``mode``: 'default' (RandomGenerator augmentation), 'weak' (resize only),
+    'weak_strong' (FixMatch WeakStrongAugment: weak = rot/flip, strong =
+    color jitter on weak — ``dataset.py:211-245``)."""
 
     def __init__(self, dataset, patch_size: Tuple[int, int],
-                 image_dtype=jnp.bfloat16, augment: bool = True):
-        self.augment = augment
+                 image_dtype=jnp.bfloat16, augment: bool = True,
+                 mode: str = None):
+        self.mode = mode or ("default" if augment else "weak")
         n = len(dataset)
         h, w = patch_size
         images = np.zeros((n, h, w), np.float32)
@@ -51,8 +55,10 @@ class DeviceSliceStore:
 
     def batch_fn(self, arrays, indices, rng):
         images, labels = arrays
+        if self.mode == "weak_strong":
+            return gather_weak_strong(images, labels, indices, rng)
         return gather_augment(images, labels, indices, rng,
-                              augment=self.augment)
+                              augment=self.mode == "default")
 
 
 def _rot90_k(img, k):
@@ -127,6 +133,47 @@ def gather_augment(images, labels, indices, rng, augment: bool = True):
         img, lab = jax.vmap(_augment_one)(img, lab, rngs)
     return {"image": img[..., None], "label": lab,
             "idx": indices.astype(jnp.int32)}
+
+
+def _color_jitter_device(rng, img):
+    """Grayscale-effective ColorJitter(0.8, 0.8, 0.8, 0.2) on device —
+    brightness and contrast in random order, clamped to [0, 1] (matches
+    ``transforms.color_jitter``)."""
+    k_order, k_b, k_c = jax.random.split(rng, 3)
+    bf = jax.random.uniform(k_b, (), minval=0.2, maxval=1.8)
+    cf = jax.random.uniform(k_c, (), minval=0.2, maxval=1.8)
+
+    def brightness(x):
+        return jnp.clip(x * bf, 0.0, 1.0)
+
+    def contrast(x):
+        return jnp.clip(cf * x + (1.0 - cf) * x.mean(), 0.0, 1.0)
+
+    return jax.lax.cond(jax.random.uniform(k_order) < 0.5,
+                        lambda x: contrast(brightness(x)),
+                        lambda x: brightness(contrast(x)), img)
+
+
+def _weak_strong_one(img, lab, rng):
+    """WeakStrongAugment semantics: weak = rot90(k)+flip of image AND label;
+    strong = color jitter of weak (``dataset.py:225-231``)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    k = jax.random.randint(k1, (), 0, 4)
+    axis = jax.random.randint(k2, (), 0, 2)
+    weak = _flip_axis(_rot90_k(img, k), axis)
+    lab_aug = _flip_axis(_rot90_k(lab, k), axis)
+    strong = _color_jitter_device(k3, weak)
+    return weak, strong, lab_aug
+
+
+def gather_weak_strong(images, labels, indices, rng):
+    img = images[indices].astype(jnp.float32)
+    lab = labels[indices].astype(jnp.int32)
+    rngs = jax.random.split(rng, indices.shape[0])
+    weak, strong, lab_aug = jax.vmap(_weak_strong_one)(img, lab, rngs)
+    return {"image": img[..., None], "image_weak": weak[..., None],
+            "image_strong": strong[..., None], "label_aug": lab_aug,
+            "label": lab_aug, "idx": indices.astype(jnp.int32)}
 
 
 # ---------------------------------------------------------------------------

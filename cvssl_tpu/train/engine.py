@@ -331,7 +331,8 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     logger.info("config: %s", cfg)
 
     use_store = (cfg.device_data and
-                 engine.method.transform in ("default", "weak"))
+                 engine.method.transform in ("default", "weak",
+                                             "weak_strong"))
     if cfg.dim == 3:
         if use_store:
             from cvssl_tpu.data.device_store import DeviceVolumeStore
@@ -364,9 +365,8 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
             store = DeviceVolumeStore(train_ds, cfg.patch_size)
         else:
             from cvssl_tpu.data.device_store import DeviceSliceStore
-            store = DeviceSliceStore(
-                train_ds, cfg.patch_size,
-                augment=(engine.method.transform == "default"))
+            store = DeviceSliceStore(train_ds, cfg.patch_size,
+                                     mode=engine.method.transform)
         engine.attach_store(store)
         index_stream = sampler.epochs()
         logger.info("device-resident dataset: %d samples in HBM",
@@ -375,6 +375,10 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
         first = {"image": np.zeros((b, *ps, 1), np.float32),
                  "label": np.zeros((b, *ps), np.int32),
                  "idx": np.arange(b, dtype=np.int32)}
+        if engine.method.transform == "weak_strong":
+            first["image_weak"] = first["image"]
+            first["image_strong"] = first["image"]
+            first["label_aug"] = first["label"]
         stream = None
     else:
         pipe = DataPipeline(train_ds, sampler, num_workers=cfg.num_workers)

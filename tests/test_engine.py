@@ -105,6 +105,19 @@ class TestFit:
         result = fit(cfg)
         assert result["iterations"] == 8
 
+    def test_fit_fixmatch_device_weak_strong(self, acdc_root, tmp_path):
+        # exercises the device-store weak/strong path end to end
+        cfg = small_cfg(acdc_root, tmp_path, method="fixmatch",
+                        exp="smoke_fixmatch")
+        result = fit(cfg)
+        assert result["iterations"] == 8
+
+    def test_fit_fixmatch_host_path(self, acdc_root, tmp_path):
+        cfg = small_cfg(acdc_root, tmp_path, method="fixmatch",
+                        exp="smoke_fixmatch_host", device_data=False)
+        result = fit(cfg)
+        assert result["iterations"] == 8
+
     def test_resume_from_checkpoint(self, acdc_root, tmp_path):
         cfg = small_cfg(acdc_root, tmp_path, exp="resume", max_iterations=8,
                         ckpt_every=8)

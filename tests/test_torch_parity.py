@@ -42,6 +42,52 @@ def test_unet_forward_matches_reference_torch():
     np.testing.assert_allclose(fy, ty, atol=1e-5, rtol=1e-4)
 
 
+def test_unet3d_forward_matches_reference_torch():
+    import torch
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, REFERENCE)
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    from networks.unet_3D import unet_3D  # reference code, run-only
+
+    from cvssl_tpu.models.unet3d import UNet3D
+
+    tm = unet_3D(n_classes=2, in_channels=1)
+    tm.eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    def conv3d_w(w):
+        return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+    def unetconv(prefix):
+        return {"Conv_0": {"kernel": conv3d_w(sd[f"{prefix}.conv1.0.weight"]),
+                           "bias": sd[f"{prefix}.conv1.0.bias"]},
+                "Conv_1": {"kernel": conv3d_w(sd[f"{prefix}.conv2.0.weight"]),
+                           "bias": sd[f"{prefix}.conv2.0.bias"]}}
+
+    params = {}
+    for i, name in enumerate(["conv1", "conv2", "conv3", "conv4", "center"]):
+        params[f"UnetConv3_{i}"] = unetconv(name)
+    for i, k in enumerate([4, 3, 2, 1]):  # decoder order: up4 first
+        params[f"UnetUp3CT_{i}"] = {
+            "UnetConv3_0": unetconv(f"up_concat{k}.conv")}
+    params["Conv_0"] = {"kernel": conv3d_w(sd["final.weight"]),
+                        "bias": sd["final.bias"]}
+
+    # 32^3: the reference's torch InstanceNorm needs >1 spatial element at
+    # the 4x-pooled bottleneck
+    x = np.random.default_rng(0).normal(size=(1, 1, 32, 32, 32)).astype(
+        np.float32)
+    with torch.no_grad():
+        ty = tm(torch.tensor(x)).numpy()
+
+    fm = UNet3D(in_chns=1, num_classes=2)
+    fy = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                  jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    fy = np.asarray(fy).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(fy, ty, atol=1e-4, rtol=1e-3)
+
+
 def _install_timm_stub():
     """Minimal stand-ins for the timm symbols the reference imports (timm is
     not installed here; these are behavior-equivalent one-liners)."""

@@ -32,6 +32,10 @@ def build_parser():
     p.add_argument("--list_name", type=str, default="test.list")
     p.add_argument("--full_metrics", action="store_true",
                    help="also compute hd95/asd (reference comments these out)")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="explicit checkpoint path (e.g. a dual-model run's "
+                        "unet_best_model1.ckpt — replaces test_CNNVIT.py's "
+                        "interactive prompt)")
     return p
 
 
@@ -108,7 +112,8 @@ def inference(flags, predictor=None):
     if os.path.exists(test_save_path):
         shutil.rmtree(test_save_path)
     os.makedirs(test_save_path)
-    predict = predictor or load_predictor(flags)
+    predict = predictor or load_predictor(
+        flags, ckpt_path=getattr(flags, "ckpt", None))
     totals = None
     for case in image_list:
         m = np.asarray(test_single_volume(case, predict, test_save_path,

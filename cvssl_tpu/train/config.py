@@ -57,7 +57,10 @@ class TrainConfig:
     val_every: int = 200
     ckpt_every: int = 3000
     num_workers: int = 8
-    dtype: str = "float32"             # compute dtype: float32 | bfloat16
+    # Model compute stays float32: measured on v5e, bf16 UNet fwd+bwd is
+    # SLOWER (0.41 vs 0.30 ms) — tiny channel counts are layout-bound and
+    # bf16's (16,128) tiling hurts. Device-store images are stored bf16.
+    dtype: str = "float32"
     dim: int = 2                       # 2 or 3 (dataset/model family)
     num_devices: Optional[int] = None  # mesh size (default: all)
     profile_dir: Optional[str] = None  # jax.profiler trace output

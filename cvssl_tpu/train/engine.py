@@ -396,7 +396,7 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
 
     max_iterations = max_steps or cfg.max_iterations
     best_dice = {n: 0.0 for n in engine.method.eval_model_names()}
-    metrics_acc, batch = None, first
+    batch = first
     t0 = time.time()
     images_seen = 0
 

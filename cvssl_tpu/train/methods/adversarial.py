@@ -45,6 +45,9 @@ class AdversarialNetwork(Method):
             return (soft, img)
         return (img,)
 
+    def eval_model_names(self):
+        return ("model",)  # the discriminator is not a segmenter
+
     def loss(self, ctx, batch):
         cfg = self.cfg
         lb = cfg.labeled_bs

@@ -12,7 +12,6 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 from flax import struct
-from flax.core import FrozenDict
 
 
 class TrainState(struct.PyTreeNode):
@@ -85,5 +84,3 @@ class StepCtx:
                                   self.cfg.consistency_rampup)
 
 
-def as_mutable(tree):
-    return dict(tree) if isinstance(tree, (dict, FrozenDict)) else tree

@@ -54,6 +54,20 @@ class MetricsWriter:
         for tag, value in scalars.items():
             self.add_scalar(tag, value, step)
 
+    def add_image(self, tag: str, image, step: int):
+        """Image logging (reference logs image/pred/gt every 20-50 iters,
+        ``train_fully_supervised_2D.py:124-141``); no-op without a TB
+        backend. ``image``: (H, W) or (H, W, C) array."""
+        if self._tb is None:
+            return
+        import numpy as np
+        img = np.asarray(image)
+        if img.ndim == 2:
+            img = img[None]            # (1, H, W) CHW grayscale
+        elif img.ndim == 3:
+            img = img.transpose(2, 0, 1)
+        self._tb.add_image(tag, img, int(step))
+
     def flush(self):
         self._jsonl.flush()
         if self._tb is not None:

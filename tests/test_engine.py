@@ -118,6 +118,14 @@ class TestFit:
         result = fit(cfg)
         assert result["iterations"] == 8
 
+    def test_fit_adversarial_validates_generator_only(self, acdc_root,
+                                                      tmp_path):
+        cfg = small_cfg(acdc_root, tmp_path, method="adversarial",
+                        exp="smoke_adv")
+        result = fit(cfg)
+        assert result["iterations"] == 8
+        assert set(result["best_dice"]) == {"model"}
+
     def test_resume_from_checkpoint(self, acdc_root, tmp_path):
         cfg = small_cfg(acdc_root, tmp_path, exp="resume", max_iterations=8,
                         ckpt_every=8)

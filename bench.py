@@ -26,7 +26,7 @@ import numpy as np
 
 BASELINE_SLICES_PER_SEC = 100.0
 WARMUP_STEPS = 5
-MEASURE_STEPS = 200
+MEASURE_STEPS = 60
 
 ACDC_TRAIN_SLICES = 1312
 ACDC_LABELED_SLICES = 136  # labeled_num 7
@@ -80,12 +80,14 @@ def main():
 
     for _ in range(WARMUP_STEPS):
         state, metrics = engine.train_step_indices(state, next(stream))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # NOTE: on tunneled TPUs block_until_ready can
+    # return before execution completes — a VALUE fetch is the only honest
+    # synchronization point, so timings below are fetch-forced.
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, metrics = engine.train_step_indices(state, next(stream))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
     slices_per_sec = MEASURE_STEPS * batch_size / elapsed
@@ -120,7 +122,7 @@ def bench_sliding_window():
     t0 = time.perf_counter()
     n = 5
     for _ in range(n):
-        ev.predict_volume(vol)
+        ev.predict_volume(vol)  # ends in np.asarray -> honest sync
     vps = n / (time.perf_counter() - t0)
     print(json.dumps({
         "metric": "brats_sliding_window_volumes_per_sec",

@@ -53,6 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--dim", type=int, default=2, choices=[2, 3])
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--scan_steps", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default=None)
     return p
 
@@ -74,7 +75,7 @@ def config_from_args(args) -> TrainConfig:
         snapshot_root=args.snapshot_root, val_every=args.val_every,
         ckpt_every=args.ckpt_every, num_workers=args.num_workers,
         dtype=args.dtype, dim=args.dim, num_devices=args.num_devices,
-        profile_dir=args.profile_dir)
+        scan_steps=args.scan_steps, profile_dir=args.profile_dir)
 
 
 def main(argv=None):

@@ -53,6 +53,8 @@ class TrainConfig:
     device_data: bool = True           # 2D: dataset resident in HBM,
                                        # augmentation jitted into the step
     fused_loss: bool = True            # Pallas fused Dice+CE on TPU
+    scan_steps: int = 1                # >1: fuse K train steps into one XLA
+                                       # program (lax.scan; store path only)
     log_every: int = 20
     val_every: int = 200
     ckpt_every: int = 3000

@@ -60,7 +60,8 @@ class Engine:
         self.tx = None  # built at init_state once params exist
         self._train_step = None
         self._train_step_indexed = None
-        self.store = None  # optional DeviceSliceStore
+        self._train_scan_step = None
+        self.store = None  # optional device-resident data store
         self._predict_fns: Dict[str, callable] = {}
 
     # ------------------------------------------------------------------
@@ -210,6 +211,34 @@ class Engine:
         idx = jax.device_put(np.asarray(indices, np.int32),
                              pmesh.batch_sharding(self.mesh))
         return self._train_step_indexed(state, self.store.arrays(), idx)
+
+    def _build_scan_step(self):
+        base_step = self._build_train_step_body()
+        batch_fn = self.store.batch_fn
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def steps_fn(state, arrays, indices_k):  # indices_k: (K, B)
+            def body(state, idx):
+                rng, aug_rng = jax.random.split(state.rng)
+                batch = batch_fn(arrays, idx, aug_rng)
+                state = state.replace(rng=rng)
+                return base_step(state, batch)
+
+            state, metrics = jax.lax.scan(body, state, indices_k)
+            # report the LAST step's metrics (log-cadence contract)
+            return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+        return steps_fn
+
+    def train_steps_scan(self, state: TrainState, indices_matrix):
+        """K fused steps as ONE XLA program (lax.scan over the step body) —
+        amortizes per-dispatch overhead on tunneled/remote TPUs. Returns
+        (state, last-step metrics)."""
+        assert self.store is not None, "attach_store() first"
+        if self._train_scan_step is None:
+            self._train_scan_step = self._build_scan_step()
+        idx = jnp.asarray(np.asarray(indices_matrix, np.int32))
+        return self._train_scan_step(state, self.store.arrays(), idx)
 
     # ------------------------------------------------------------------
     # prediction / validation
@@ -405,9 +434,20 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     if has_cta_hooks:
         engine.method.on_epoch_start(train_ds, int(state.step))
 
+    scan_k = cfg.scan_steps if use_store else 1
+
     it = int(state.step)
     while it < max_iterations:
-        if use_store:
+        if use_store and scan_k > 1:
+            def _dist(c):
+                return c - (it % c)
+            n = min(scan_k, _dist(cfg.log_every), _dist(cfg.val_every),
+                    _dist(cfg.ckpt_every), max_iterations - it)
+            idx_mat = [next(index_stream) for _ in range(n)]
+            state, metrics = engine.train_steps_scan(state, idx_mat)
+            it += n - 1
+            images_seen += (n - 1) * cfg.batch_size
+        elif use_store:
             state, metrics = engine.train_step_indices(
                 state, next(index_stream))
         else:

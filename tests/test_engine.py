@@ -126,6 +126,14 @@ class TestFit:
         assert result["iterations"] == 8
         assert set(result["best_dice"]) == {"model"}
 
+    def test_fit_scan_steps_fused(self, acdc_root, tmp_path):
+        # K-step lax.scan fusion: same iteration count, boundaries respected
+        cfg = small_cfg(acdc_root, tmp_path, exp="smoke_scan",
+                        scan_steps=4, log_every=4)
+        result = fit(cfg)
+        assert result["iterations"] == 8
+        assert int(result["state"].step) == 8
+
     def test_resume_from_checkpoint(self, acdc_root, tmp_path):
         cfg = small_cfg(acdc_root, tmp_path, exp="resume", max_iterations=8,
                         ckpt_every=8)

@@ -96,6 +96,25 @@ class TestContrastiveConsistencyMethod:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6)
 
+    def test_full_fit_with_cta_hooks(self, tmp_path):
+        """End-to-end fit through the CTA data path: policy refresh per
+        epoch, per-batch unfavorable-crop check, rate updates."""
+        from cvssl_tpu.data.synthetic import make_synthetic_acdc
+        from cvssl_tpu.train.config import TrainConfig
+        from cvssl_tpu.train.engine import fit
+
+        root = make_synthetic_acdc(str(tmp_path / "acdc"), num_cases=6,
+                                   slices_per_case=2, size=32)
+        cfg = TrainConfig(root_path=root, exp="smoke_cta",
+                          method="contrastive_consistency", model="unet",
+                          model2="unet", num_classes=4, max_iterations=4,
+                          batch_size=4, labeled_bs=2,
+                          labeled_slices_override=4, patch_size=(32, 32),
+                          snapshot_root=str(tmp_path / "model"),
+                          val_every=4, ckpt_every=100, num_workers=2)
+        result = fit(cfg)
+        assert result["iterations"] == 4
+
     def test_epoch_hooks(self):
         from cvssl_tpu.train.methods.base import get_method
         from cvssl_tpu.train.config import TrainConfig

@@ -1,0 +1,34 @@
+"""Pixel-packed Pallas conv — interpret-mode correctness on CPU (compiled
+parity + timing exercised on the real TPU by verify runs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvssl_tpu.ops.pallas_conv import conv3x3_p8, build_banded_mats
+
+
+def test_banded_mats_structure():
+    k = jnp.asarray(np.random.default_rng(0).normal(
+        size=(3, 3, 16, 16)).astype(np.float32))
+    mats = build_banded_mats(k)
+    assert set(mats) == {(dh, G) for dh in range(3) for G in (-1, 0, 1)}
+    # G=+1 band: only out pixel v=7 reads in pixel u=0 (dw=2)... the matrix
+    # must be mostly zero
+    m = np.asarray(mats[(0, 1)])
+    assert np.count_nonzero(m) <= 2 * 16 * 16
+    # G=0 band has the most entries (central band)
+    m0 = np.asarray(mats[(0, 0)])
+    assert np.count_nonzero(m0) > np.count_nonzero(m)
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 48, 16)])
+def test_conv3x3_p8_matches_xla(shape):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 16, 16)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv3x3_p8(x, k, interpret=True, tile_h=shape[1] // 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

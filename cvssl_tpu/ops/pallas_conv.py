@@ -7,12 +7,13 @@ into one 128-lane vector and applies the 3x3xCxC kernel as NINE banded
 128x128 matmuls per row — the image tile stays in VMEM, so the nine taps
 read HBM once.
 
-Status: numerically exact vs XLA conv (rel 2e-7) and 1.2x faster at
-24x256^2xC16 (3.6 vs 4.3 ms, fetch-forced). The remaining gap to the
-~0.5 ms memory bound is the materialized dh-shifted input views (3x input
-reads) and effective DMA bandwidth (~30% of peak at this block size);
-round-2: fold the row halo into the grid (output revisits across a dh grid
-axis) and tune block sizes. Not yet wired into the models — opt-in.
+Status (fetch-forced timings at 24x256^2xC16 vs XLA's 4.3 ms):
+* ``conv3x3_p8``   — shifted-view inputs, auto-pipelined: 3.6 ms (1.2x);
+* ``conv3x3_p8_dma`` — in-kernel halo DMA, input read once: 3.0 ms (1.4x);
+both numerically exact (rel 2e-7). Remaining gap to the ~0.5 ms memory
+bound: the DMA variant is unpipelined (DMA stalls compute) — round-2:
+double-buffer the row tiles and emit bf16 outputs. Not yet wired into the
+models — opt-in.
 
 Layout: x (B, H, W, C) with C*P == 128. Each grid step processes one image:
 block (1, H+2, (W+2P)*C) resident in VMEM; out (1, H, W*C).
@@ -68,6 +69,63 @@ def _conv_kernel(x0_ref, x1_ref, x2_ref, mats_ref, out_ref, *, th: int,
             acc = acc + jnp.dot(a, mats_ref[dh * 3 + gi],
                                 preferred_element_type=jnp.float32)
     out_ref[0] = acc.reshape(th, w * co)
+
+
+def _conv_kernel_dma(x_hbm, mats_ref, out_ref, scratch, sem, *, th: int,
+                     w: int, c: int, co: int):
+    """Halo rows via manual HBM->VMEM DMA (single input read, no
+    materialized shifted views). scratch: (TH+2, (W+2P)*C)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * th, th + 8)], scratch, sem)
+    dma.start()
+    dma.wait()
+    g = w // P
+    acc = jnp.zeros((th * g, P * co), jnp.float32)
+    for dh in range(3):
+        for gi, G in enumerate((-1, 0, 1)):
+            start = (1 + G) * P * c
+            a = scratch[dh:dh + th, start:start + w * c].reshape(
+                th * g, P * c)
+            acc = acc + jnp.dot(a, mats_ref[dh * 3 + gi],
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(th, w * co)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
+def conv3x3_p8_dma(x: jnp.ndarray, k: jnp.ndarray, interpret: bool = False,
+                   tile_h: int = 32) -> jnp.ndarray:
+    """conv3x3_p8 variant with in-kernel halo DMA (input read once)."""
+    b, h, w, c = x.shape
+    co = k.shape[3]
+    assert c * P == 128 and w % P == 0 and h % tile_h == 0, (c, w, h)
+    mats = build_banded_mats(k)
+    mats_arr = jnp.stack([mats[(dh, G)] for dh in range(3)
+                          for G in (-1, 0, 1)])
+    # top pad 1 row (halo), bottom pad 7 so every (tile_h + 8)-row DMA chunk
+    # stays sublane-aligned (Mosaic requires multiples of 8)
+    xp = jnp.pad(x, ((0, 0), (1, 7), (P, P), (0, 0)))
+    wc = (w + 2 * P) * c
+    xp = xp.reshape(b, h + 8, wc)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel_dma, th=tile_h, w=w, c=c, co=co),
+        grid=(b, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9, P * c, P * co), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w * co), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 8, wc), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, mats_arr)
+    return out.reshape(b, h, w, co)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))

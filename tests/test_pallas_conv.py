@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cvssl_tpu.ops.pallas_conv import conv3x3_p8, build_banded_mats
+from cvssl_tpu.ops.pallas_conv import (build_banded_mats, conv3x3_p8,
+                                       conv3x3_p8_dma)
 
 
 def test_banded_mats_structure():
@@ -22,13 +23,14 @@ def test_banded_mats_structure():
     assert np.count_nonzero(m0) > np.count_nonzero(m)
 
 
+@pytest.mark.parametrize("fn", [conv3x3_p8, conv3x3_p8_dma])
 @pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 48, 16)])
-def test_conv3x3_p8_matches_xla(shape):
+def test_conv3x3_p8_matches_xla(fn, shape):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(3, 3, 16, 16)).astype(np.float32))
     want = jax.lax.conv_general_dilated(
         x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    got = conv3x3_p8(x, k, interpret=True, tile_h=shape[1] // 2)
+    got = fn(x, k, interpret=True, tile_h=shape[1] // 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)

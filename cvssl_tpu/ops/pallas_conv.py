@@ -8,12 +8,14 @@ into one 128-lane vector and applies the 3x3xCxC kernel as NINE banded
 read HBM once.
 
 Status (fetch-forced timings at 24x256^2xC16 vs XLA's 4.3 ms):
-* ``conv3x3_p8``   — shifted-view inputs, auto-pipelined: 3.6 ms (1.2x);
+* ``conv3x3_p8``     — shifted-view inputs, auto-pipelined: 3.6 ms (1.2x);
 * ``conv3x3_p8_dma`` — in-kernel halo DMA, input read once: 3.0 ms (1.4x);
-both numerically exact (rel 2e-7). Remaining gap to the ~0.5 ms memory
-bound: the DMA variant is unpipelined (DMA stalls compute) — round-2:
-double-buffer the row tiles and emit bf16 outputs. Not yet wired into the
-models — opt-in.
+* ``conv3x3_p8_db``  — + double buffering: 3.0 ms (no further gain);
+all numerically exact (rel 2e-7). Since double buffering doesn't move the
+needle, the ~3 ms floor is MXU f32-pass throughput on the 9 banded matmuls
+(58 GF at ~19 TF/s), not DMA — round-2: make the bf16 MXU path actually
+engage (the astype-in-kernel attempt was folded away) and/or emit bf16.
+Not yet wired into the models — opt-in.
 
 Layout: x (B, H, W, C) with C*P == 128. Each grid step processes one image:
 block (1, H+2, (W+2P)*C) resident in VMEM; out (1, H, W*C).
@@ -122,6 +124,74 @@ def conv3x3_p8_dma(x: jnp.ndarray, k: jnp.ndarray, interpret: bool = False,
         scratch_shapes=[
             pltpu.VMEM((tile_h + 8, wc), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, mats_arr)
+    return out.reshape(b, h, w, co)
+
+
+def _conv_kernel_db(x_hbm, mats_ref, out_ref, scratch, sems, *, th: int,
+                    w: int, c: int, co: int):
+    """Double-buffered halo DMA: prefetch row-tile t+1 while computing t."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    def dma(tt, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tt * th, th + 8)], scratch.at[slot],
+            sems.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        dma(t + 1, (t + 1) % 2).start()
+
+    slot = t % 2
+    dma(t, slot).wait()
+
+    g = w // P
+    acc = jnp.zeros((th * g, P * co), jnp.float32)
+    for dh in range(3):
+        for gi, G in enumerate((-1, 0, 1)):
+            start = (1 + G) * P * c
+            a = scratch[slot, dh:dh + th, start:start + w * c].reshape(
+                th * g, P * c)
+            acc = acc + jnp.dot(a, mats_ref[dh * 3 + gi],
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(th, w * co)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
+def conv3x3_p8_db(x: jnp.ndarray, k: jnp.ndarray, interpret: bool = False,
+                  tile_h: int = 32) -> jnp.ndarray:
+    """Double-buffered variant of ``conv3x3_p8_dma``."""
+    b, h, w, c = x.shape
+    co = k.shape[3]
+    assert c * P == 128 and w % P == 0 and h % tile_h == 0, (c, w, h)
+    mats = build_banded_mats(k)
+    mats_arr = jnp.stack([mats[(dh, G)] for dh in range(3)
+                          for G in (-1, 0, 1)])
+    xp = jnp.pad(x, ((0, 0), (1, 7), (P, P), (0, 0)))
+    wc = (w + 2 * P) * c
+    xp = xp.reshape(b, h + 8, wc)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel_db, th=tile_h, w=w, c=c, co=co),
+        grid=(b, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9, P * c, P * co), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w * co), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 8, wc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, mats_arr)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from cvssl_tpu.ops.pallas_conv import (build_banded_mats, conv3x3_p8,
-                                       conv3x3_p8_dma)
+                                       conv3x3_p8_db, conv3x3_p8_dma)
 
 
 def test_banded_mats_structure():
@@ -23,7 +23,7 @@ def test_banded_mats_structure():
     assert np.count_nonzero(m0) > np.count_nonzero(m)
 
 
-@pytest.mark.parametrize("fn", [conv3x3_p8, conv3x3_p8_dma])
+@pytest.mark.parametrize("fn", [conv3x3_p8, conv3x3_p8_dma, conv3x3_p8_db])
 @pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 48, 16)])
 def test_conv3x3_p8_matches_xla(fn, shape):
     rng = np.random.default_rng(0)

@@ -13,9 +13,11 @@ Status (fetch-forced timings at 24x256^2xC16 vs XLA's 4.3 ms):
 * ``conv3x3_p8_db``  — + double buffering: 3.0 ms (no further gain);
 all numerically exact (rel 2e-7). Since double buffering doesn't move the
 needle, the ~3 ms floor is MXU f32-pass throughput on the 9 banded matmuls
-(58 GF at ~19 TF/s), not DMA — round-2: make the bf16 MXU path actually
-engage (the astype-in-kernel attempt was folded away) and/or emit bf16.
-Not yet wired into the models — opt-in.
+(58 GF at ~19 TF/s), not DMA. Round-2 lead (probed, not shipped): passing
+bf16 ARRAYS at the pallas_call boundary measured 2.6 ms (1.65x) — but the
+output stayed bit-identical to the f32 run, which is numerically impossible
+for true bf16 inputs; understand what Mosaic actually compiled before
+trusting it. Not yet wired into the models — opt-in.
 
 Layout: x (B, H, W, C) with C*P == 128. Each grid step processes one image:
 block (1, H+2, (W+2P)*C) resident in VMEM; out (1, H, W*C).

@@ -21,47 +21,148 @@ Deviations (deliberate, TPU-first):
 Variants: ``UNetCCT`` (3 perturbed aux decoders, ``unet.py:324-349``),
 ``UNetDS`` (deep supervision, ``:373-391``), ``UNetURPC`` (multi-scale with
 in-decoder perturbations, ``:352-370``).
+
+TPU fast path (``s2d_levels`` > 0): the top ``s2d_levels`` encoder/decoder
+levels run in space-to-depth coordinates (see ``ops/s2d.py``) so their
+lane-padding-bound C=16/C=32 convs execute as full-width C=64/C=128 MXU
+convs — an EXACT reformulation (same math, same parameters, same param
+tree; weights stay ``(3, 3, C, Co)`` and are re-indexed at trace time).
+``dtype=bfloat16`` additionally runs conv math in bf16 with f32 accumulation
+(params, BatchNorm statistics and logits stay f32). Both are opt-in and
+default-on for TPU via ``TrainConfig``.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cvssl_tpu.ops import s2d as s2d_ops
+
 DEFAULT_FEATURES = (16, 32, 64, 128, 256)
 DEFAULT_DROPOUT = (0.05, 0.1, 0.2, 0.3, 0.5)
 
 
+class ConvW(nn.Module):
+    """Parameter container matching ``nn.Conv``'s param subtree
+    ({kernel, bias}, lecun-normal/zeros init) without applying the conv —
+    the s2d path applies the kernel itself via ``ops/s2d.py``."""
+    features: int
+    kernel_size: Sequence[int]
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        shape = (*self.kernel_size, self.in_features, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), shape)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
+class S2DBatchNorm(nn.Module):
+    """BatchNorm over ORIGINAL channels applied to an s2d tensor: statistics
+    pool over the 4 sub-position channels of each original channel, so train
+    and eval match plain ``nn.BatchNorm`` on the un-s2d tensor exactly.
+    Param/batch_stats subtrees are shape-identical to ``nn.BatchNorm``'s."""
+    features: int
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xg = x.reshape(x.shape[:-1] + (4, c))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = xg.astype(jnp.float32)
+            axes = tuple(range(xf.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            # biased variance, fast form — matches flax _compute_stats
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (xg - mean) * inv + bias
+        return y.reshape(x.shape).astype(self.dtype or x.dtype)
+
+
 class ConvBlock(nn.Module):
-    """conv3x3-BN-LeakyReLU-dropout-conv3x3-BN-LeakyReLU (``unet.py:31``)."""
+    """conv3x3-BN-LeakyReLU-dropout-conv3x3-BN-LeakyReLU (``unet.py:31``).
+
+    ``s2d=True``: input/output are s2d tensors (4x channels, half spatial);
+    params are identical to the native block — kernels are re-indexed to the
+    s2d domain at trace time (exact; ``ops/s2d.py``)."""
     out_channels: int
     dropout_p: float
+    s2d: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.Conv(self.out_channels, (3, 3), padding=1)(x)
+        if self.s2d:
+            return self._call_s2d(x, train=train)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
         if self.dropout_p > 0:
             x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1)(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
+        return nn.leaky_relu(x, negative_slope=0.01)
+
+    def _call_s2d(self, x, *, train: bool):
+        co = self.out_channels
+        k0, b0 = ConvW(co, (3, 3), x.shape[-1] // 4, name="Conv_0")()
+        x = s2d_ops.conv3x3(x, k0, b0, dtype=self.dtype)
+        x = S2DBatchNorm(co, use_running_average=not train,
+                         dtype=self.dtype, name="BatchNorm_0")(x)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+        if self.dropout_p > 0:
+            x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+        k1, b1 = ConvW(co, (3, 3), co, name="Conv_1")()
+        x = s2d_ops.conv3x3(x, k1, b1, dtype=self.dtype)
+        x = S2DBatchNorm(co, use_running_average=not train,
+                         dtype=self.dtype, name="BatchNorm_1")(x)
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
 class DownBlock(nn.Module):
-    """2x2 maxpool then ConvBlock (``unet.py:50``)."""
+    """2x2 maxpool then ConvBlock (``unet.py:50``). In s2d coords the maxpool
+    is a max over the 4 sub-position channels (``ops/s2d.py::group_max``)."""
     out_channels: int
     dropout_p: float
+    s2d_in: bool = False   # input arrives in s2d form
+    s2d_out: bool = False  # run this level's ConvBlock in s2d form
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return ConvBlock(self.out_channels, self.dropout_p)(x, train=train)
+        if self.s2d_in:
+            x = s2d_ops.group_max(x)  # == maxpool 2x2/s2 of original
+        else:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if self.s2d_out:
+            x = s2d_ops.space_to_depth(x)
+        return ConvBlock(self.out_channels, self.dropout_p, s2d=self.s2d_out,
+                         dtype=self.dtype)(x, train=train)
 
 
 def bilinear_resize(x: jnp.ndarray, new_hw, align_corners: bool = True):
@@ -91,56 +192,99 @@ class UpBlock(nn.Module):
 
     bilinear=True: 1x1 conv to skip width then bilinear x2 (align_corners).
     bilinear=False (reference UNet default): 2x2 stride-2 transpose conv.
+
+    s2d=True: the skip ``x2`` arrives in s2d form and the ConvBlock runs in
+    s2d coords; the 1x1-conv + bilinear-x2 on ``x1`` stay in native coords
+    (cheap, bandwidth-bound) and the result is s2d'd before the concat.
+    s2d_x1=True additionally means ``x1`` itself arrives in s2d form.
     """
     out_channels: int
     skip_channels: int
     dropout_p: float = 0.0
     bilinear: bool = True
+    s2d: bool = False
+    s2d_x1: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x1, x2, *, train: bool):
+        if self.s2d:
+            assert self.bilinear, "s2d UpBlock implements the bilinear path"
+            if self.s2d_x1:
+                x1 = s2d_ops.depth_to_space(x1)
+            x1 = nn.Conv(self.skip_channels, (1, 1), dtype=self.dtype)(x1)
+            x1 = bilinear_resize(x1, (x1.shape[1] * 2, x1.shape[2] * 2))
+            x1 = s2d_ops.space_to_depth(x1)
+            x = s2d_ops.concat([x2, x1],
+                               [x2.shape[-1] // 4, self.skip_channels])
+            return ConvBlock(self.out_channels, self.dropout_p, s2d=True,
+                             dtype=self.dtype)(x, train=train)
         if self.bilinear:
-            x1 = nn.Conv(self.skip_channels, (1, 1))(x1)
+            x1 = nn.Conv(self.skip_channels, (1, 1), dtype=self.dtype)(x1)
             x1 = bilinear_resize(x1, (x1.shape[1] * 2, x1.shape[2] * 2))
         else:
             x1 = nn.ConvTranspose(self.skip_channels, (2, 2),
-                                  strides=(2, 2))(x1)
+                                  strides=(2, 2), dtype=self.dtype)(x1)
         x = jnp.concatenate([x2, x1], axis=-1)
-        return ConvBlock(self.out_channels, self.dropout_p)(x, train=train)
+        return ConvBlock(self.out_channels, self.dropout_p,
+                         dtype=self.dtype)(x, train=train)
 
 
 class Encoder(nn.Module):
-    """5-level encoder returning all feature maps (``unet.py:89-116``)."""
+    """5-level encoder returning all feature maps (``unet.py:89-116``).
+
+    ``s2d_levels`` = number of top levels computed in s2d coordinates; those
+    entries of the returned list are s2d tensors (the decoder mirrors the
+    setting)."""
     in_chns: int = 1
     features: Sequence[int] = DEFAULT_FEATURES
     dropout: Sequence[float] = DEFAULT_DROPOUT
+    s2d_levels: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        f, d = self.features, self.dropout
-        x0 = ConvBlock(f[0], d[0])(x, train=train)
-        x1 = DownBlock(f[1], d[1])(x0, train=train)
-        x2 = DownBlock(f[2], d[2])(x1, train=train)
-        x3 = DownBlock(f[3], d[3])(x2, train=train)
-        x4 = DownBlock(f[4], d[4])(x3, train=train)
+        f, d, s, dt = self.features, self.dropout, self.s2d_levels, self.dtype
+        if s >= 1:
+            x = s2d_ops.space_to_depth(x)
+        x0 = ConvBlock(f[0], d[0], s2d=s >= 1, dtype=dt)(x, train=train)
+        x1 = DownBlock(f[1], d[1], s2d_in=s >= 1, s2d_out=s >= 2,
+                       dtype=dt)(x0, train=train)
+        x2 = DownBlock(f[2], d[2], s2d_in=s >= 2, s2d_out=s >= 3,
+                       dtype=dt)(x1, train=train)
+        x3 = DownBlock(f[3], d[3], s2d_in=s >= 3, dtype=dt)(x2, train=train)
+        x4 = DownBlock(f[4], d[4], dtype=dt)(x3, train=train)
         return [x0, x1, x2, x3, x4]
 
 
 class Decoder(nn.Module):
-    """4-level decoder + 3x3 out conv (``unet.py:119-153``)."""
+    """4-level decoder + 3x3 out conv (``unet.py:119-153``). Logits are
+    returned in f32 regardless of compute dtype."""
     num_classes: int
     features: Sequence[int] = DEFAULT_FEATURES
     bilinear: bool = True
+    s2d_levels: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats, *, train: bool):
-        f = self.features
+        f, s, dt = self.features, self.s2d_levels, self.dtype
         x0, x1, x2, x3, x4 = feats
-        x = UpBlock(f[3], f[3], bilinear=self.bilinear)(x4, x3, train=train)
-        x = UpBlock(f[2], f[2], bilinear=self.bilinear)(x, x2, train=train)
-        x = UpBlock(f[1], f[1], bilinear=self.bilinear)(x, x1, train=train)
-        x = UpBlock(f[0], f[0], bilinear=self.bilinear)(x, x0, train=train)
-        return nn.Conv(self.num_classes, (3, 3), padding=1)(x)
+        x = UpBlock(f[3], f[3], bilinear=self.bilinear,
+                    dtype=dt)(x4, x3, train=train)
+        x = UpBlock(f[2], f[2], bilinear=self.bilinear, s2d=s >= 3,
+                    dtype=dt)(x, x2, train=train)
+        x = UpBlock(f[1], f[1], bilinear=self.bilinear, s2d=s >= 2,
+                    s2d_x1=s >= 3, dtype=dt)(x, x1, train=train)
+        x = UpBlock(f[0], f[0], bilinear=self.bilinear, s2d=s >= 1,
+                    s2d_x1=s >= 2, dtype=dt)(x, x0, train=train)
+        if s >= 1:
+            k, b = ConvW(self.num_classes, (3, 3), f[0], name="Conv_0")()
+            out = s2d_ops.conv3x3(x, k, b, dtype=dt)
+            out = s2d_ops.depth_to_space(out)
+        else:
+            out = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=dt)(x)
+        return out.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -178,18 +322,28 @@ def dropout_perturb(rng, x, p: float = 0.3):
 # ---------------------------------------------------------------------------
 
 class UNet(nn.Module):
-    """The workhorse 2D UNet (``unet.py:304-321``)."""
+    """The workhorse 2D UNet (``unet.py:304-321``).
+
+    ``s2d_levels``/``dtype``: TPU fast path (see module docstring) — exact
+    same function and param tree, different XLA program."""
     in_chns: int = 1
     num_classes: int = 4
     features: Sequence[int] = DEFAULT_FEATURES
     dropout: Sequence[float] = DEFAULT_DROPOUT
     bilinear: bool = True
+    s2d_levels: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        feats = Encoder(self.in_chns, self.features, self.dropout)(
+        if self.s2d_levels:
+            div = 2 ** self.s2d_levels
+            assert x.shape[1] % div == 0 and x.shape[2] % div == 0, x.shape
+        feats = Encoder(self.in_chns, self.features, self.dropout,
+                        s2d_levels=self.s2d_levels, dtype=self.dtype)(
             x, train=train)
-        return Decoder(self.num_classes, self.features, self.bilinear)(
+        return Decoder(self.num_classes, self.features, self.bilinear,
+                       s2d_levels=self.s2d_levels, dtype=self.dtype)(
             feats, train=train)
 
 

@@ -1,0 +1,135 @@
+"""Space-to-depth (s2d) reformulation of high-resolution, low-channel convs.
+
+Why: XLA:TPU lays NHWC activations out with channels on the 128-lane axis, so
+the UNet's top levels (256^2 at C=16, 128^2 at C=32 — reference
+``code/networks/unet.py:31-62``) run 8x/4x over their memory bound (measured
+1.8 / 3.9 TF/s on v5e). Re-expressing the SAME 3x3 stride-1 conv in s2d(2)
+coordinates — (B, H, W, C) -> (B, H/2, W/2, 4C) — turns it into a 3x3 conv
+with 4x the channels and 4x the FLOPs, but the MXU runs it ~8-13x faster
+(measured 15.5 TF/s f32 / 26.3 TF/s bf16 at 128^2/C64), a ~2.2-3.7x net win
+(scripts/probe_s2d.py).
+
+The reformulation is EXACT (a linear re-indexing of the same math):
+
+  s2d layout: y[i, j, (a*2+b)*C + c] = x[2i+a, 2j+b, c],  a, b in {0, 1}.
+
+  A 3x3 SAME conv out(2i+a+dh...) decomposes with a+dh = 2*di + a'
+  (di in {-1,0,1}, a' in {0,1}); the s2d-domain kernel is
+
+  K[di+1, dj+1, (a'*2+b')*C + ci, (a*2+b)*Co + co] = k[dh+1, dw+1, ci, co]
+    where dh = 2*di + a' - a, dw = 2*dj + b' - b, if both in {-1, 0, 1},
+    else 0.
+
+  Zero-CELL SAME padding in s2d coords touches exactly the zero ROWS/COLS the
+  original SAME conv reads (row -1 and row H only), so boundaries match too.
+
+MaxPool 2x2/s2 in s2d coords is a max over the (a, b) group — a pure
+channel-axis reduction, no spatial op at all. BatchNorm must pool statistics
+over the 4 sub-position channels of each original channel to stay exact
+(see ``models/unet.py::S2DBatchNorm``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/r, W/r, r*r*C), group-major channel layout
+    ((a*r+b)*C + c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // r, w // r, r * r * c)
+
+
+def depth_to_space(y: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, hh, ww, gc = y.shape
+    c = gc // (r * r)
+    y = y.reshape(b, hh, ww, r, r, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, hh * r, ww * r, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _selector(r: int = 2) -> np.ndarray:
+    """S[di, dj, a', b', a, b, dh, dw] in {0,1}: tap (dh, dw) of the original
+    kernel lands at s2d tap (di, dj) connecting in sub-pos (a', b') to out
+    sub-pos (a, b)."""
+    s = np.zeros((3, 3, r, r, r, r, 3, 3), np.float32)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for a2 in range(r):
+                for b2 in range(r):
+                    for a in range(r):
+                        for b in range(r):
+                            dh = r * di + a2 - a
+                            dw = r * dj + b2 - b
+                            if -1 <= dh <= 1 and -1 <= dw <= 1:
+                                s[di + 1, dj + 1, a2, b2, a, b,
+                                  dh + 1, dw + 1] = 1.0
+    return s
+
+
+def s2d_kernel3x3(k: jnp.ndarray) -> jnp.ndarray:
+    """Original HWIO kernel (3, 3, C, Co) -> s2d-domain (3, 3, 4C, 4Co)."""
+    c, co = k.shape[2], k.shape[3]
+    sel = jnp.asarray(_selector(), k.dtype)
+    big = jnp.einsum("ijABabhw,hwcd->ijABcabd", sel, k)
+    return big.reshape(3, 3, 4 * c, 4 * co)
+
+
+def conv3x3(x: jnp.ndarray, k: jnp.ndarray, bias=None, dtype=None):
+    """SAME 3x3 stride-1 conv applied in s2d coordinates.
+
+    x: (B, HH, WW, 4*Ci) s2d tensor; k: ORIGINAL kernel (3, 3, Ci, Co).
+    Returns the s2d form of the original conv's output, (B, HH, WW, 4*Co),
+    accumulating in f32 on the MXU.
+    """
+    big = s2d_kernel3x3(k)
+    if dtype is not None:
+        x, big = x.astype(dtype), big.astype(dtype)
+    # no preferred_element_type: output follows input dtype (TPU still
+    # accumulates bf16 MXU passes in f32), and the conv VJP stays
+    # dtype-consistent under value_and_grad.
+    y = jax.lax.conv_general_dilated(
+        x, big, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 4)
+    return y
+
+
+def conv1x1(x: jnp.ndarray, k: jnp.ndarray, bias=None, dtype=None):
+    """1x1 conv (pixel-wise linear map) in s2d coordinates: a block-diagonal
+    matmul over the 4 sub-position groups. k: (1, 1, Ci, Co) or (Ci, Co)."""
+    if k.ndim == 4:
+        k = k[0, 0]
+    ci, co = k.shape
+    xg = x.reshape(x.shape[:-1] + (4, ci))
+    if dtype is not None:
+        xg, k = xg.astype(dtype), k.astype(dtype)
+    y = jnp.einsum("bhwgc,cd->bhwgd", xg, k)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.reshape(x.shape[:-1] + (4 * co,))
+
+
+def group_max(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool 2x2 stride 2 of the ORIGINAL tensor, computed in s2d coords:
+    (B, HH, WW, 4C) -> (B, HH, WW, C) — max over the (a, b) sub-positions."""
+    b, hh, ww, gc = x.shape
+    return x.reshape(b, hh, ww, 4, gc // 4).max(axis=3)
+
+
+def concat(xs, channels) -> jnp.ndarray:
+    """Channel-concat of ORIGINAL tensors, performed on their s2d forms.
+    ``xs[i]`` is (B, HH, WW, 4*channels[i]); result groups stay (a, b)-major."""
+    grouped = [x.reshape(x.shape[:-1] + (4, c))
+               for x, c in zip(xs, channels)]
+    y = jnp.concatenate(grouped, axis=-1)
+    return y.reshape(y.shape[:-2] + (4 * y.shape[-1],))

@@ -50,7 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_every", type=int, default=d.ckpt_every)
     p.add_argument("--num_workers", type=int, default=d.num_workers)
     p.add_argument("--dtype", type=str, default=d.dtype,
-                   choices=["float32", "bfloat16"])
+                   choices=["auto", "float32", "bfloat16"],
+                   help="model compute dtype; auto = bf16 on TPU")
+    p.add_argument("--s2d_levels", type=int, default=d.s2d_levels,
+                   help="UNet space-to-depth fast-path levels "
+                        "(default: auto — 2 on TPU, 0 on CPU)")
     p.add_argument("--dim", type=int, default=2, choices=[2, 3])
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--scan_steps", type=int, default=1)
@@ -74,8 +78,9 @@ def config_from_args(args) -> TrainConfig:
         consistency_type=args.consistency_type, conf_thresh=args.conf_thresh,
         snapshot_root=args.snapshot_root, val_every=args.val_every,
         ckpt_every=args.ckpt_every, num_workers=args.num_workers,
-        dtype=args.dtype, dim=args.dim, num_devices=args.num_devices,
-        scan_steps=args.scan_steps, profile_dir=args.profile_dir)
+        dtype=args.dtype, s2d_levels=args.s2d_levels, dim=args.dim,
+        num_devices=args.num_devices, scan_steps=args.scan_steps,
+        profile_dir=args.profile_dir)
 
 
 def main(argv=None):

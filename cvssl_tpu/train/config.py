@@ -59,10 +59,15 @@ class TrainConfig:
     val_every: int = 200
     ckpt_every: int = 3000
     num_workers: int = 8
-    # Model compute stays float32: measured on v5e, bf16 UNet fwd+bwd is
-    # SLOWER (0.41 vs 0.30 ms) — tiny channel counts are layout-bound and
-    # bf16's (16,128) tiling hurts. Device-store images are stored bf16.
-    dtype: str = "float32"
+    # Model compute dtype. "auto" = bfloat16 on TPU, float32 on CPU.
+    # (Round-1 note "bf16 slower" was measured at 32^2 toy shapes; at the
+    # production 256^2 shapes bf16 convs are 1.6-1.8x faster —
+    # scripts/probe_s2d.py.) Params/BN stats/logits always stay f32.
+    dtype: str = "auto"
+    # Space-to-depth fast path for the plain UNet's lane-padding-bound top
+    # levels (ops/s2d.py — exact reformulation). None = auto: 2 on TPU,
+    # 0 on CPU. Requires patch dims divisible by 2**levels.
+    s2d_levels: Optional[int] = None
     dim: int = 2                       # 2 or 3 (dataset/model family)
     num_devices: Optional[int] = None  # mesh size (default: all)
     profile_dir: Optional[str] = None  # jax.profiler trace output
@@ -79,3 +84,27 @@ class TrainConfig:
         return os.path.join(self.snapshot_root,
                             f"{self.exp}_{self.labeled_num}_labeled",
                             self.model)
+
+    def model_kwargs(self, net_type: str) -> dict:
+        """TPU fast-path knobs for model families that support them
+        (currently the plain 2D UNet): resolved compute dtype and s2d
+        levels. Exact reformulations — results match the reference model."""
+        if net_type != "unet" or self.dim == 3:
+            return {}
+        import jax
+        import jax.numpy as jnp
+        on_tpu = jax.default_backend() != "cpu"
+        s2d = self.s2d_levels
+        if s2d is None:
+            s2d = 2 if on_tpu else 0
+        if any(p % (2 ** max(s2d, 1)) for p in self.patch_size):
+            s2d = 0
+        dt = self.dtype
+        if dt == "auto":
+            dt = "bfloat16" if on_tpu else "float32"
+        kw = {}
+        if s2d:
+            kw["s2d_levels"] = s2d
+        if dt != "float32":
+            kw["dtype"] = jnp.dtype(dt)
+        return kw

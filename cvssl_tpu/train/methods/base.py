@@ -56,11 +56,12 @@ class Method:
 
     # -- construction -----------------------------------------------------
     def _factory(self, net_type: str) -> nn.Module:
+        kw = self.cfg.model_kwargs(net_type)
         if self.cfg.dim == 3:
             return net_factory_3d(net_type, self.cfg.in_channels,
-                                  self.cfg.num_classes)
+                                  self.cfg.num_classes, **kw)
         return net_factory(net_type, self.cfg.in_channels,
-                           self.cfg.num_classes)
+                           self.cfg.num_classes, **kw)
 
     def build_models(self) -> Dict[str, nn.Module]:
         return {"model": self._factory(self.cfg.model)}

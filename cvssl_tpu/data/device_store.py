@@ -78,7 +78,9 @@ def _flip_axis(img, axis):
 def _rotate_nearest(img, angle_deg, is_label):
     """scipy ndimage.rotate(order=0, reshape=False, cval=0) equivalent:
     inverse-map output coords through the rotation about the center, nearest
-    neighbor, zero fill."""
+    neighbor, zero fill. (Reference oracle for the fast batched
+    ``_rotate_shear3`` below; a 2D gather — ~20 ns/element on TPU, so the
+    hot path avoids it.)"""
     h, w = img.shape
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     theta = -angle_deg * jnp.pi / 180.0  # inverse rotation
@@ -96,42 +98,131 @@ def _rotate_nearest(img, angle_deg, is_label):
     return jnp.where(valid, out, jnp.zeros((), img.dtype))
 
 
-def _augment_one(img, lab, rng):
-    """The reference RandomGenerator branch structure: if u1 > .5 ->
-    rot90+flip; elif u2 > .5 -> rotate U{-20..19} (``dataset.py:415-419``)."""
-    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
-    u1 = jax.random.uniform(k1)
-    u2 = jax.random.uniform(k2)
-    k = jax.random.randint(k3, (), 0, 4)
-    axis = jax.random.randint(k4, (), 0, 2)
-    angle = jax.random.randint(k5, (), -20, 20).astype(jnp.float32)
+# -- gather-free batched rotation (Paeth 3-shear) ---------------------------
+#
+# TPU gathers run ~20 ns/element, so rotating a 24x256^2 batch by per-sample
+# angles via index gathers costs ~35-50 ms (measured). The same rotation
+# decomposes into three axis-aligned integer shears (Paeth 1986); each shear
+# is "shift row/column i by s[i]", realized as a static Python loop over the
+# |s| range of jnp.roll + select — pure contiguous copies and VPU selects,
+# no gathers. Angles are integers in [-20, 20) (``dataset.py:418``:
+# np.random.randint(-20, 20)), so the shift tables are static constants.
 
-    def rotflip(args):
-        i, l = args
-        return (_flip_axis(_rot90_k(i, k), axis),
-                _flip_axis(_rot90_k(l, k), axis))
+_MAX_ANGLE = 20
 
-    def rotate(args):
-        i, l = args
-        return (_rotate_nearest(i, angle, False),
-                _rotate_nearest(l, angle, True))
 
-    def second(args):
-        return jax.lax.cond(u2 > 0.5, rotate, lambda a: a, args)
+def _shear_tables(h: int, w: int):
+    """Static per-angle integer shift vectors for the three shears.
+    Returns (row_shift (40, h), col_shift (40, w)) as numpy int32; shear 1
+    and 3 share row_shift."""
+    angles = np.arange(-_MAX_ANGLE, _MAX_ANGLE)
+    phi = angles * np.pi / 180.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ii = np.arange(h) - cy
+    jj = np.arange(w) - cx
+    a = -np.tan(phi / 2.0)[:, None]  # (40, 1)
+    b = np.sin(phi)[:, None]
+    row = np.round(a * ii[None, :]).astype(np.int32)      # (40, h)
+    col = np.round(b * jj[None, :]).astype(np.int32)      # (40, w)
+    return row, col
 
-    return jax.lax.cond(u1 > 0.5, rotflip, second, (img, lab))
+
+def _shift_cols(arrs, valids, s, max_s):
+    """out[b, i, j] = arr[b, i, j + s[b, i]] with zero fill (horizontal
+    shear). ``arrs``: tuple of (B, H, W); ``valids``: running validity mask
+    (B, H, W) sheared alongside; ``s``: (B, H) int32 in [-max_s, max_s]."""
+    w = arrs[0].shape[2]
+    jcol = jnp.arange(w)
+    outs = [jnp.zeros_like(a) for a in arrs]
+    vout = jnp.zeros_like(valids)
+    for delta in range(-max_s, max_s + 1):
+        inb = (jcol + delta >= 0) & (jcol + delta < w)      # (W,)
+        use = (s == delta)[:, :, None] & inb[None, None, :]
+        outs = [jnp.where(use, jnp.roll(a, -delta, axis=2), o)
+                for a, o in zip(arrs, outs)]
+        vout = jnp.where(use, jnp.roll(valids, -delta, axis=2), vout)
+    return outs, vout
+
+
+def _shift_rows(arrs, valids, s, max_s):
+    """out[b, i, j] = arr[b, i + s[b, j], j] with zero fill (vertical
+    shear). ``s``: (B, W) int32."""
+    h = arrs[0].shape[1]
+    irow = jnp.arange(h)
+    outs = [jnp.zeros_like(a) for a in arrs]
+    vout = jnp.zeros_like(valids)
+    for delta in range(-max_s, max_s + 1):
+        inb = (irow + delta >= 0) & (irow + delta < h)      # (H,)
+        use = (s == delta)[:, None, :] & inb[None, :, None]
+        outs = [jnp.where(use, jnp.roll(a, -delta, axis=1), o)
+                for a, o in zip(arrs, outs)]
+        vout = jnp.where(use, jnp.roll(valids, -delta, axis=1), vout)
+    return outs, vout
+
+
+def _rotate_shear3(img, lab, angle_idx):
+    """Batched NN rotation by per-sample integer angles via three shears.
+    ``img``/``lab``: (B, H, W); ``angle_idx``: (B,) int32 in [0, 40)
+    (angle = idx - 20 degrees). Zero fill outside the source frame.
+
+    NN-rounding differs from the direct inverse-map on a small fraction of
+    pixels (~1-2%, the usual Paeth-vs-direct disagreement on rounding
+    boundaries); the result is still an exact-angle nearest rotation and is
+    artifact-free. Validity (zero-fill region) is tracked through the
+    shears so the border matches the direct method's cval=0."""
+    b, h, w = img.shape
+    row_np, col_np = _shear_tables(h, w)
+    row_t = jnp.asarray(row_np)
+    col_t = jnp.asarray(col_np)
+    srow = row_t[angle_idx]                       # (B, H)
+    scol = col_t[angle_idx]                       # (B, W)
+    max_r = int(np.abs(row_np).max())
+    max_c = int(np.abs(col_np).max())
+
+    valid = jnp.ones((b, h, w), bool)
+    (i1, l1), v1 = _shift_cols((img, lab), valid, srow, max_r)
+    (i2, l2), v2 = _shift_rows((i1, l1), v1, scol, max_c)
+    (i3, l3), v3 = _shift_cols((i2, l2), v2, srow, max_r)
+    zero_i = jnp.zeros((), img.dtype)
+    zero_l = jnp.zeros((), lab.dtype)
+    return jnp.where(v3, i3, zero_i), jnp.where(v3, l3, zero_l)
+
+
+def _rotflip_one(img, lab, k, axis):
+    return (_flip_axis(_rot90_k(img, k), axis),
+            _flip_axis(_rot90_k(lab, k), axis))
 
 
 def gather_augment(images, labels, indices, rng, augment: bool = True):
     """Jitted batch assembly: gather rows, per-sample augmentation, NHWC
     float32 image + int32 label (collate contract of
-    ``cvssl_tpu.data.pipeline``)."""
-    img = images[indices].astype(jnp.float32)
-    lab = labels[indices].astype(jnp.int32)
+    ``cvssl_tpu.data.pipeline``).
+
+    Branch structure mirrors the reference RandomGenerator: if u1 > .5 ->
+    rot90+flip; elif u2 > .5 -> rotate U{-20..19} (``dataset.py:415-419``),
+    realized batch-wise: every variant is computed densely on the VPU
+    (SPMD — per-sample control flow would be select-both-sides under vmap
+    anyway) and per-sample selected. Augmentation runs in the storage
+    dtypes (bf16 image / uint8 label) and casts once at the end — the ops
+    are value-exact in those dtypes and it's ~2.5x less memory traffic."""
+    img = images[indices]
+    lab = labels[indices]
     if augment:
-        rngs = jax.random.split(rng, indices.shape[0])
-        img, lab = jax.vmap(_augment_one)(img, lab, rngs)
-    return {"image": img[..., None], "label": lab,
+        b = indices.shape[0]
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        u1 = jax.random.uniform(k1, (b,))
+        u2 = jax.random.uniform(k2, (b,))
+        k = jax.random.randint(k3, (b,), 0, 4)
+        axis = jax.random.randint(k4, (b,), 0, 2)
+        aidx = jax.random.randint(k5, (b,), 0, 2 * _MAX_ANGLE)
+        rf_i, rf_l = jax.vmap(_rotflip_one)(img, lab, k, axis)
+        rot_i, rot_l = _rotate_shear3(img, lab, aidx)
+        c1 = (u1 > 0.5)[:, None, None]
+        c2 = (u2 > 0.5)[:, None, None]
+        img = jnp.where(c1, rf_i, jnp.where(c2, rot_i, img))
+        lab = jnp.where(c1, rf_l, jnp.where(c2, rot_l, lab))
+    return {"image": img.astype(jnp.float32)[..., None],
+            "label": lab.astype(jnp.int32),
             "idx": indices.astype(jnp.int32)}
 
 

@@ -33,6 +33,7 @@ default-on for TPU via ``TrainConfig``.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -165,25 +166,37 @@ class DownBlock(nn.Module):
                          dtype=self.dtype)(x, train=train)
 
 
+@functools.lru_cache(maxsize=None)
+def _lerp_matrix(n_in: int, n_out: int):
+    """(n_out, n_in) align_corners=True linear-interpolation matrix — two
+    nonzeros per row. Applied as a matmul: TPU gathers run ~20 ns/element
+    while the MXU does this 'wasteful' dense contraction in microseconds
+    (the old gather formulation cost ~15 ms per UNet forward)."""
+    import numpy as np
+    pos = np.linspace(0.0, n_in - 1.0, n_out)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = (pos - i0).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), i0] += 1.0 - f
+    m[np.arange(n_out), i1] += f
+    return m
+
+
 def bilinear_resize(x: jnp.ndarray, new_hw, align_corners: bool = True):
     """Bilinear resize with torch align_corners=True semantics (used by the
-    bilinear UpBlock variant and DS/URPC logit upsampling)."""
+    bilinear UpBlock variant and DS/URPC logit upsampling). Implemented as
+    two banded-matrix contractions on the MXU (exact same interpolation
+    weights as the reference's F.interpolate(align_corners=True))."""
     b, h, w, c = x.shape
     nh, nw = new_hw
+    if (nh, nw) == (h, w):
+        return x
     if align_corners and nh > 1 and nw > 1:
-        # Sample positions i * (h-1)/(nh-1) — jax.image.resize uses
-        # half-pixel centers, so gather explicitly.
-        rows = jnp.linspace(0.0, h - 1.0, nh)
-        cols = jnp.linspace(0.0, w - 1.0, nw)
-        r0 = jnp.floor(rows).astype(jnp.int32)
-        c0 = jnp.floor(cols).astype(jnp.int32)
-        r1 = jnp.minimum(r0 + 1, h - 1)
-        c1 = jnp.minimum(c0 + 1, w - 1)
-        fr = (rows - r0)[None, :, None, None]
-        fc = (cols - c0)[None, None, :, None]
-        top = x[:, r0][:, :, c0] * (1 - fc) + x[:, r0][:, :, c1] * fc
-        bot = x[:, r1][:, :, c0] * (1 - fc) + x[:, r1][:, :, c1] * fc
-        return top * (1 - fr) + bot * fr
+        rm = jnp.asarray(_lerp_matrix(h, nh), x.dtype)
+        cm = jnp.asarray(_lerp_matrix(w, nw), x.dtype)
+        y = jnp.einsum("Hh,bhwc->bHwc", rm, x)
+        return jnp.einsum("Ww,bhwc->bhWc", cm, y)
     return jax.image.resize(x, (b, nh, nw, c), method="bilinear")
 
 

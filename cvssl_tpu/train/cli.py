@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=d.batch_size)
     p.add_argument("--base_lr", type=float, default=d.base_lr)
     p.add_argument("--patch_size", type=int, nargs="+", default=[256, 256])
+    p.add_argument("--patch_size2", type=int, nargs="+", default=None,
+                   help="val patch size for the model2 slot (dual runs)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--deterministic", type=int, default=1)
     p.add_argument("--labeled_bs", type=int, default=d.labeled_bs)
@@ -69,6 +71,7 @@ def config_from_args(args) -> TrainConfig:
         num_classes=args.num_classes, in_channels=args.in_channels,
         max_iterations=args.max_iterations, batch_size=args.batch_size,
         base_lr=args.base_lr, patch_size=tuple(args.patch_size),
+        patch_size2=tuple(args.patch_size2) if args.patch_size2 else None,
         seed=args.seed, deterministic=bool(args.deterministic),
         labeled_bs=args.labeled_bs, labeled_num=args.labeled_num,
         labeled_slices_override=args.labeled_slices,

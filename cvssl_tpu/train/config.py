@@ -28,6 +28,10 @@ class TrainConfig:
     batch_size: int = 24
     base_lr: float = 0.01
     patch_size: Tuple[int, ...] = (256, 256)
+    # optional val-time patch size for the "model2" slot (dual CNN+ViT runs
+    # validate the ViT at 224^2 while the CNN stays at 256^2); None =
+    # reference behavior (both at patch_size)
+    patch_size2: Optional[Tuple[int, ...]] = None
     seed: int = 1337
     deterministic: bool = True
 

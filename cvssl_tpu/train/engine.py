@@ -283,15 +283,21 @@ class Engine:
 
     def validate(self, state: TrainState, val_dataset, name: str = None):
         """Per-class (dice, hd95) means over the val set (2D slice loop or
-        3D sliding window per cfg.dim)."""
+        3D sliding window per cfg.dim). Dual CNN+ViT runs may validate each
+        model slot at its own resolution via ``cfg.patch_size2`` (the
+        reference evaluates both at one size and its stale-signature
+        keeps patch_size fixed — SURVEY §8; we fix that)."""
         name = name or self.method.eval_model_names()[0]
+        size = self.cfg.patch_size
+        if self.cfg.patch_size2 and name == "model2":
+            size = self.cfg.patch_size2
         if self.cfg.dim == 3:
             return val3d.test_all_case(
                 self.predict_probs_fn(name, state), val_dataset,
-                self.cfg.num_classes, self.cfg.patch_size,
+                self.cfg.num_classes, size,
                 stride_xy=64, stride_z=64)
         return val2d.evaluate(val_dataset, self.predict_fn(name, state),
-                              self.cfg.num_classes, self.cfg.patch_size)
+                              self.cfg.num_classes, size)
 
 
 # ---------------------------------------------------------------------------
@@ -417,14 +423,18 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     rng = jax.random.PRNGKey(cfg.seed)
     state = engine.init_state(rng, first)
 
-    # resume if a full-state checkpoint exists
-    restored, start_it = ckpt.restore_latest(snapshot, state)
+    # resume if a full-state checkpoint exists (incl. best_dice, so the
+    # best-checkpoint contract survives restarts)
+    best_dice = {n: 0.0 for n in engine.method.eval_model_names()}
+    restored, start_it, meta = ckpt.restore_latest(
+        snapshot, state, meta_target={"best_dice": dict(best_dice)})
     if restored is not None:
         state = pmesh.replicate_state(engine.mesh, restored)
-        logger.info("resumed from iteration %d", start_it)
+        best_dice.update(meta.get("best_dice", {}))
+        logger.info("resumed from iteration %d (best_dice %s)",
+                    start_it, best_dice)
 
     max_iterations = max_steps or cfg.max_iterations
-    best_dice = {n: 0.0 for n in engine.method.eval_model_names()}
     batch = first
     t0 = time.time()
     images_seen = 0
@@ -496,7 +506,8 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
                                       host_params)
 
         if it % cfg.ckpt_every == 0:
-            ckpt.save_train_state(snapshot, ckpt.to_host(state), it)
+            ckpt.save_train_state(snapshot, ckpt.to_host(state), it,
+                                  meta={"best_dice": dict(best_dice)})
             ckpt.prune_old(snapshot)
 
     elapsed = time.time() - t0

@@ -38,18 +38,25 @@ def load_weights(path: str, target):
         return serialization.from_bytes(target, f.read())
 
 
-def save_train_state(snapshot_path: str, state, iteration: int) -> str:
+def save_train_state(snapshot_path: str, state, iteration: int,
+                     meta: Optional[dict] = None) -> str:
     """Full-state checkpoint: ``model_iter_{k}.ckpt`` (reference naming,
-    ``utils/util.py:113-123``)."""
+    ``utils/util.py:113-123``). ``meta`` carries loop-level scalars that
+    must survive resume — notably per-model ``best_dice`` (the reference
+    forgets it, ``util.py:55-123``, so a resumed run can overwrite
+    ``{model}_best_model.ckpt`` with a worse model; we fix that)."""
     path = os.path.join(snapshot_path, f"model_iter_{iteration}.ckpt")
-    _atomic_write(path, serialization.to_bytes(state))
+    _atomic_write(path, serialization.to_bytes(
+        {"state": state, "meta": meta or {}}))
     return path
 
 
-def restore_latest(snapshot_path: str, target) -> tuple[Optional[object], int]:
+def restore_latest(snapshot_path: str, target,
+                   meta_target: Optional[dict] = None
+                   ) -> tuple[Optional[object], int, dict]:
     """Find and load the newest ``model_iter_*.ckpt`` (reference
-    ``utils/util.py:76-110`` restore_model). Returns (state, iteration) or
-    (None, 0)."""
+    ``utils/util.py:76-110`` restore_model). Returns (state, iteration,
+    meta) or (None, 0, {})."""
     paths = glob.glob(os.path.join(snapshot_path, "model_iter_*.ckpt"))
     best, best_it = None, -1
     for p in paths:
@@ -57,8 +64,10 @@ def restore_latest(snapshot_path: str, target) -> tuple[Optional[object], int]:
         if m and int(m.group(1)) > best_it:
             best, best_it = p, int(m.group(1))
     if best is None:
-        return None, 0
-    return load_weights(best, target), best_it
+        return None, 0, {}
+    payload = load_weights(best, {"state": target,
+                                  "meta": meta_target or {}})
+    return payload["state"], best_it, payload["meta"]
 
 
 def prune_old(snapshot_path: str, keep: int = 2):

@@ -59,6 +59,59 @@ class TestRotateNearest:
         assert set(np.unique(got)) <= {0, 1, 2, 3}
 
 
+class TestRotateShear3:
+    """The gather-free Paeth 3-shear rotation (hot path) vs the direct
+    inverse-map oracle: both are NN realizations of the same rotation, so
+    they agree up to ~1-px nearest-neighbor choices — on smooth images the
+    values must be close everywhere."""
+
+    def test_close_to_direct_on_smooth_image(self):
+        h = w = 64
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        img = np.sin(yy / 9.0) + np.cos(xx / 7.0)
+        img = (img / np.abs(img).max()).astype(np.float32)
+        batch = jnp.stack([jnp.asarray(img)] * 4)
+        lab = jnp.zeros_like(batch).astype(jnp.uint8)
+        for ang in (-19, -8, 5, 17):
+            ri, _ = ds._rotate_shear3(batch, lab,
+                                      jnp.asarray([ang + 20] * 4))
+            direct = np.asarray(ds._rotate_nearest(
+                jnp.asarray(img), jnp.float32(ang), False))
+            got = np.asarray(ri[0])
+            interior = direct != 0
+            diff = np.abs(got - direct)[interior]
+            # bounded by local gradient x ~1.5 px NN displacement
+            assert np.mean(diff) < 0.04, (ang, np.mean(diff))
+            assert np.percentile(diff, 99) < 0.35, (ang,)
+
+    def test_angle_zero_is_identity(self):
+        r = np.random.default_rng(0)
+        img = jnp.asarray(r.normal(size=(2, 32, 32)), jnp.float32)
+        lab = jnp.asarray(r.integers(0, 4, (2, 32, 32)), jnp.uint8)
+        ri, rl = ds._rotate_shear3(img, lab, jnp.asarray([20, 20]))
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(img))
+        np.testing.assert_array_equal(np.asarray(rl), np.asarray(lab))
+
+    def test_labels_rotate_with_images_and_fill_zero(self):
+        # image==label pattern through the same shear path stays aligned
+        img = np.tile(np.arange(32, dtype=np.float32), (32, 1)) + 1.0
+        bi = jnp.stack([jnp.asarray(img)] * 2)
+        bl = bi.astype(jnp.uint8)
+        ri, rl = ds._rotate_shear3(bi, bl, jnp.asarray([5, 30]))
+        np.testing.assert_allclose(np.asarray(ri),
+                                   np.asarray(rl).astype(np.float32))
+        # corners rotate out of frame -> zero fill present
+        assert (np.asarray(ri[0]) == 0).any()
+
+    def test_per_sample_angles_independent(self):
+        r = np.random.default_rng(1)
+        img = jnp.asarray(r.normal(size=(2, 32, 32)), jnp.float32)
+        lab = jnp.zeros((2, 32, 32), jnp.uint8)
+        ri, _ = ds._rotate_shear3(img, lab, jnp.asarray([20, 35]))
+        np.testing.assert_array_equal(np.asarray(ri[0]), np.asarray(img[0]))
+        assert not np.array_equal(np.asarray(ri[1]), np.asarray(img[1]))
+
+
 class TestAugmentBranches:
     def test_rot90_flip_preserves_value_multiset(self):
         img = jnp.arange(64.0).reshape(8, 8)

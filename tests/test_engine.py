@@ -137,7 +137,12 @@ class TestFit:
     def test_resume_from_checkpoint(self, acdc_root, tmp_path):
         cfg = small_cfg(acdc_root, tmp_path, exp="resume", max_iterations=8,
                         ckpt_every=8)
-        fit(cfg)
+        first = fit(cfg)
         cfg2 = dataclasses.replace(cfg, max_iterations=12)
         result = fit(cfg2)
         assert result["iterations"] == 12
+        # best_dice survives resume: the resumed run can only improve on the
+        # first run's best (the reference resets it to 0 and can overwrite
+        # {model}_best_model.ckpt with a worse model)
+        for name, d in first["best_dice"].items():
+            assert result["best_dice"][name] >= d

@@ -13,16 +13,22 @@ BASELINE_SLICES_PER_SEC for vs_baseline until a measured reference run
 exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``--full`` additionally measures BraTS sliding-window inference
-(volumes/sec, 96^3 patches stride 64 over a 140x180x180 volume) to stderr.
+``--full`` additionally measures the other north-star configs — BraTS
+sliding-window inference (volumes/sec) and the cross-teaching
+CNN+SwinUnet train step at 224^2 — printing each to stderr and writing
+all results to BENCH_EXTRA.json at the repo root.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+EXTRA_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_EXTRA.json")
 
 BASELINE_SLICES_PER_SEC = 100.0
 WARMUP_STEPS = 5
@@ -99,6 +105,40 @@ def main():
     }))
 
 
+def bench_cross_teaching():
+    """North-star #4: cross-teaching UNet + SwinUnet-tiny train step at
+    224^2 (reference ``train_cross_teaching_between_cnn_transformer_2D.py``
+    config: batch 16 = 8 labeled + 8 unlabeled)."""
+    import jax
+    from cvssl_tpu.train.config import TrainConfig
+    from cvssl_tpu.train.engine import Engine
+
+    batch = 16
+    cfg = TrainConfig(method="cross_teaching", model="unet",
+                      model2="ViT_Seg", num_classes=4, batch_size=batch,
+                      labeled_bs=8, patch_size=(224, 224), num_devices=None,
+                      labeled_slices_override=8)
+    engine = Engine(cfg)
+    rng = np.random.default_rng(0)
+    b = {"image": rng.normal(size=(batch, 224, 224, 1)).astype(np.float32),
+         "label": rng.integers(0, 4, (batch, 224, 224)).astype(np.int32),
+         "idx": np.arange(batch, dtype=np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(0), b)
+    for _ in range(3):
+        state, metrics = engine.train_step(state, b)
+    float(metrics["loss"])  # fetch-forced sync (see module docstring)
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        state, metrics = engine.train_step(state, b)
+    float(metrics["loss"])
+    sps = n * batch / (time.perf_counter() - t0)
+    rec = {"metric": "acdc_cross_teaching_cnn_swin_train_slices_per_sec",
+           "value": round(sps, 2), "unit": "slices/sec/chip"}
+    print(json.dumps(rec), file=sys.stderr)
+    return rec
+
+
 def bench_sliding_window():
     """Secondary metric (BASELINE.md): BraTS sliding-window volumes/sec."""
     import jax
@@ -124,12 +164,56 @@ def bench_sliding_window():
     for _ in range(n):
         ev.predict_volume(vol)  # ends in np.asarray -> honest sync
     vps = n / (time.perf_counter() - t0)
-    print(json.dumps({
-        "metric": "brats_sliding_window_volumes_per_sec",
-        "value": round(vps, 3), "unit": "volumes/sec"}), file=sys.stderr)
+    rec = {"metric": "brats_sliding_window_volumes_per_sec",
+           "value": round(vps, 3), "unit": "volumes/sec"}
+    print(json.dumps(rec), file=sys.stderr)
+    return rec
+
+
+def bench_uamt_3d():
+    """North-star #5: 3D UAMT UNet3D train step, BraTS config (batch 4 =
+    2 labeled + 2 unlabeled, 96^3 patches, 2 classes —
+    ``train_uncertainty_aware_mean_teacher_3D.py:40-53``)."""
+    import jax
+    from cvssl_tpu.train.config import TrainConfig
+    from cvssl_tpu.train.engine import Engine
+
+    batch = 4
+    cfg = TrainConfig(method="uamt", model="unet_3D", num_classes=2,
+                      batch_size=batch, labeled_bs=2, dim=3,
+                      patch_size=(96, 96, 96), num_devices=None,
+                      labeled_slices_override=2)
+    engine = Engine(cfg)
+    rng = np.random.default_rng(0)
+    b = {"image": rng.normal(size=(batch, 96, 96, 96, 1)).astype(np.float32),
+         "label": rng.integers(0, 2, (batch, 96, 96, 96)).astype(np.int32),
+         "idx": np.arange(batch, dtype=np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(0), b)
+    for _ in range(3):
+        state, metrics = engine.train_step(state, b)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        state, metrics = engine.train_step(state, b)
+    float(metrics["loss"])
+    vps = n * batch / (time.perf_counter() - t0)
+    rec = {"metric": "brats_uamt3d_train_volumes_per_sec",
+           "value": round(vps, 3), "unit": "volumes/sec/chip"}
+    print(json.dumps(rec), file=sys.stderr)
+    return rec
 
 
 if __name__ == "__main__":
     main()
     if "--full" in sys.argv:
-        bench_sliding_window()
+        extras = []
+        for fn in (bench_sliding_window, bench_cross_teaching,
+                   bench_uamt_3d):
+            try:
+                extras.append(fn())
+            except Exception as e:  # record, keep benching
+                extras.append({"metric": fn.__name__, "error": repr(e)})
+                print(f"{fn.__name__} failed: {e!r}", file=sys.stderr)
+        with open(EXTRA_PATH, "w") as f:
+            json.dump(extras, f, indent=1)

@@ -2,7 +2,7 @@
 ``{model}_best_model.ckpt`` from the snapshot dir, runs the per-volume slice
 loop over ``test.list`` at 256^2 (configurable), reports per-class dice
 (+hd95/asd optionally, which the reference has commented out), exports
-predictions (npz; nii.gz needs SimpleITK which is unavailable offline).
+predictions as ``.nii.gz`` (from-scratch NIfTI-1 writer, utils/nifti.py).
 
     python -m cvssl_tpu.eval.test_2d --root_path ../data/ACDC \
         --exp ACDC/Fully_Supervised --model unet --num_classes 4 --labeled_num 3
@@ -87,10 +87,16 @@ def test_single_volume(case, predict, test_save_path, flags):
     prediction = zoom(pred_patch, (1, x / flags.patch_size[0],
                                    y / flags.patch_size[1]), order=0)
     if test_save_path:
-        np.savez_compressed(
-            os.path.join(test_save_path, f"{case}_pred.npz"),
-            pred=prediction.astype(np.uint8), img=image.astype(np.float32),
-            gt=label.astype(np.uint8))
+        # reference export contract (test_2D_fully.py:73-81): float32
+        # volumes, spacing (1, 1, 10), {case}_{pred,img,gt}.nii.gz
+        from cvssl_tpu.utils.nifti import save_nifti
+        sp = (1.0, 1.0, 10.0)
+        save_nifti(os.path.join(test_save_path, f"{case}_pred.nii.gz"),
+                   prediction.astype(np.float32), sp)
+        save_nifti(os.path.join(test_save_path, f"{case}_img.nii.gz"),
+                   image.astype(np.float32), sp)
+        save_nifti(os.path.join(test_save_path, f"{case}_gt.nii.gz"),
+                   label.astype(np.float32), sp)
     out = []
     for c in range(1, flags.num_classes):
         p, g = prediction == c, label == c

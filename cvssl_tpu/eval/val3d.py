@@ -188,8 +188,8 @@ def test_all_case_full_metrics(predict_fn, dataset, num_classes: int = 2,
                                stride_z: int = 64, export_dir=None):
     """Per-case (dice, ravd, hd95, asd) + mean — reference
     ``test_3D_util.test_all_case`` (``test_3D_util.py:91-152``); predictions
-    optionally exported as .npz (SimpleITK/nii.gz unavailable here —
-    documented deviation)."""
+    exported as ``{id}_pred/img/lab.nii.gz`` with spacing (1,1,1)
+    (``test_3D_util.py:111-124``) via the from-scratch NIfTI-1 writer."""
     import os
     ev = SlidingWindowEvaluator(predict_fn, patch_size, num_classes,
                                 stride_xy, stride_z)
@@ -207,11 +207,14 @@ def test_all_case_full_metrics(predict_fn, dataset, num_classes: int = 2,
                 case_metrics.append((0.0, 0.0, 0.0, 0.0))
         rows.append(np.asarray(case_metrics))
         if export_dir is not None:
+            from cvssl_tpu.utils.nifti import save_nifti
             os.makedirs(export_dir, exist_ok=True)
-            np.savez_compressed(
-                os.path.join(export_dir, f"{sample.get('case', i)}_pred.npz"),
-                pred=pred.astype(np.uint8),
-                img=np.asarray(sample["image"], np.float32),
-                lab=label.astype(np.uint8))
+            ids = sample.get("case", i)
+            save_nifti(os.path.join(export_dir, f"{ids}_pred.nii.gz"),
+                       pred.astype(np.uint8))
+            save_nifti(os.path.join(export_dir, f"{ids}_img.nii.gz"),
+                       np.asarray(sample["image"], np.float32))
+            save_nifti(os.path.join(export_dir, f"{ids}_lab.nii.gz"),
+                       label.astype(np.uint8))
     rows = np.asarray(rows)  # (cases, classes-1, 4)
     return rows, rows.mean(axis=0)

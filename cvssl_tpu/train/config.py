@@ -89,10 +89,16 @@ class TrainConfig:
                             f"{self.exp}_{self.labeled_num}_labeled",
                             self.model)
 
+    # constructor overrides for the ViT slot (SwinUnet) — e.g. a thin
+    # embed_dim for CPU smokes; production runs leave this None
+    vit_kwargs: Optional[dict] = None
+
     def model_kwargs(self, net_type: str) -> dict:
-        """TPU fast-path knobs for model families that support them
-        (currently the plain 2D UNet): resolved compute dtype and s2d
-        levels. Exact reformulations — results match the reference model."""
+        """Per-family constructor knobs: TPU fast path for the plain 2D
+        UNet (resolved compute dtype + s2d levels — exact reformulations),
+        and ``vit_kwargs`` overrides for the SwinUnet slot."""
+        if net_type in ("ViT_Seg", "swin_unet"):
+            return dict(self.vit_kwargs or {})
         if net_type != "unet" or self.dim == 3:
             return {}
         import jax

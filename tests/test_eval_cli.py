@@ -43,7 +43,14 @@ class TestTest2DCLI:
         assert avg.shape[0] == 3  # classes 1..3
         assert np.all(np.isfinite(avg))
         pred_dir = snapshot + "_predictions"
-        assert any(f.endswith("_pred.npz") for f in os.listdir(pred_dir))
+        # reference export contract: {case}_{pred,img,gt}.nii.gz that
+        # round-trip through the NIfTI reader with spacing (1,1,10)
+        from cvssl_tpu.utils.nifti import load_nifti
+        preds = [f for f in os.listdir(pred_dir) if f.endswith("_pred.nii.gz")]
+        assert preds
+        arr, spacing = load_nifti(os.path.join(pred_dir, preds[0]))
+        assert spacing == (1.0, 1.0, 10.0)
+        assert arr.ndim == 3 and np.isfinite(arr).all()
 
 
 class TestTest3DCLI:

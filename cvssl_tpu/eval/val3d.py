@@ -61,6 +61,29 @@ def gaussian_importance_map(patch_size, sigma_scale: float = 1.0 / 8):
     return g.astype(np.float32)
 
 
+def mirror_tta(predict_fn: Callable, mirror_axes: Sequence[int]):
+    """nnUNet mirroring TTA (``neural_network.py:96,146-151``): average the
+    prediction over all 2^len(mirror_axes) flip combinations, un-flipping
+    each before accumulation. ``mirror_axes`` index the SPATIAL dims of the
+    patch ((0,1,2) for 3D, (0,1) wrapped for 2D); the batch dim is 0 in the
+    wrapped fn. All combos run inside one jitted call — no host loop."""
+    import itertools
+    combos = [c for r in range(len(mirror_axes) + 1)
+              for c in itertools.combinations(tuple(mirror_axes), r)]
+
+    def fn(x):
+        acc = None
+        for combo in combos:
+            ax = tuple(a + 1 for a in combo)
+            xm = jnp.flip(x, ax) if combo else x
+            p = predict_fn(xm)
+            p = jnp.flip(p, ax) if combo else p
+            acc = p if acc is None else acc + p
+        return acc / len(combos)
+
+    return fn
+
+
 def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
                       batch: int, weight_map: Optional[np.ndarray] = None):
     """Build a jitted (volume, corners) -> (score, cnt) accumulator.
@@ -123,12 +146,15 @@ class SlidingWindowEvaluator:
 
     def __init__(self, predict_fn: Callable, patch_size: Sequence[int],
                  num_classes: int, stride_xy: int, stride_z: int,
-                 patch_batch: int = 4, gaussian: bool = False):
+                 patch_batch: int = 4, gaussian: bool = False,
+                 mirror_axes: Optional[Sequence[int]] = None):
         self.predict_fn = predict_fn
         self.patch_size = tuple(patch_size)
         self.num_classes = num_classes
         self.stride_xy = stride_xy
         self.stride_z = stride_z
+        if mirror_axes:  # nnUNet do_mirroring — off by default here
+            predict_fn = mirror_tta(predict_fn, mirror_axes)
         wmap = gaussian_importance_map(self.patch_size) if gaussian else None
         self._acc = _make_accumulator(predict_fn, self.patch_size,
                                       num_classes, patch_batch, wmap)
@@ -162,6 +188,26 @@ class SlidingWindowEvaluator:
         sl = tuple(slice(p0, label_map.shape[i] - p1)
                    for i, (p0, p1) in enumerate(pads))
         return label_map[sl]
+
+
+def tiled_predict_2d(predict_fn, image: np.ndarray, patch_size,
+                     num_classes: int, stride: int, gaussian: bool = True,
+                     mirror: bool = False) -> np.ndarray:
+    """2D tiled sliding-window prediction — the nnUNet 2D path
+    (``neural_network.py:190,261-265``): Gaussian-weighted tiles with
+    optional in-plane mirroring TTA. Runs the 3D engine on a
+    singleton-depth volume. ``predict_fn``: (B, ph, pw, 1) ->
+    (B, ph, pw, C) softmax; ``image``: (H, W)."""
+    def pf3(x):  # (B, 1, ph, pw, 1) -> (B, 1, ph, pw, C)
+        return predict_fn(x[:, 0])[:, None]
+
+    # volume layout (1, H, W): the singleton axis produces a single corner
+    # whatever its stride; both plane axes tile with ``stride``.
+    ev = SlidingWindowEvaluator(
+        pf3, (1, *tuple(patch_size)), num_classes, stride_xy=stride,
+        stride_z=stride, gaussian=gaussian,
+        mirror_axes=(1, 2) if mirror else None)
+    return ev.predict_volume(image[None])[0]
 
 
 def test_all_case(predict_fn, dataset, num_classes: int = 2,

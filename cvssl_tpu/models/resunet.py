@@ -49,11 +49,12 @@ class Bottle2neck(nn.Module):
         if not stype_stage:
             outs.append(splits[-1])
         else:
-            last = splits[-1]
-            if self.stride > 1:
-                last = nn.avg_pool(last, (3, 3), strides=(self.stride,) * 2,
-                                   padding=((1, 1), (1, 1)))
-            outs.append(last)
+            # 'stage' blocks ALWAYS pool the last split (3x3, pad 1, stride
+            # = block stride — a smoothing even at stride 1;
+            # ``Res2Net_v1b.py:57,86``)
+            outs.append(nn.avg_pool(splits[-1], (3, 3),
+                                    strides=(self.stride,) * 2,
+                                    padding=((1, 1), (1, 1))))
         out = jnp.concatenate(outs, axis=-1)
         out = _bn(train)(nn.Conv(self.planes * expansion, (1, 1),
                                  use_bias=False)(out))

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--s2d_levels", type=int, default=d.s2d_levels,
                    help="UNet space-to-depth fast-path levels "
                         "(default: auto — 2 on TPU, 0 on CPU)")
+    p.add_argument("--pretrained_ckpt", type=str, default=None,
+                   help="local torch .pth with ImageNet weights for "
+                        "preunet/efficient_unet encoders")
     p.add_argument("--dim", type=int, default=2, choices=[2, 3])
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--scan_steps", type=int, default=1)
@@ -83,7 +86,7 @@ def config_from_args(args) -> TrainConfig:
         ckpt_every=args.ckpt_every, num_workers=args.num_workers,
         dtype=args.dtype, s2d_levels=args.s2d_levels, dim=args.dim,
         num_devices=args.num_devices, scan_steps=args.scan_steps,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir, pretrained_ckpt=args.pretrained_ckpt)
 
 
 def main(argv=None):

@@ -92,6 +92,9 @@ class TrainConfig:
     # constructor overrides for the ViT slot (SwinUnet) — e.g. a thin
     # embed_dim for CPU smokes; production runs leave this None
     vit_kwargs: Optional[dict] = None
+    # local torch .pth with ImageNet weights for preunet/efficient_unet
+    # encoders (the reference URL-downloads these; offline needs a file)
+    pretrained_ckpt: Optional[str] = None
 
     def model_kwargs(self, net_type: str) -> dict:
         """Per-family constructor knobs: TPU fast path for the plain 2D

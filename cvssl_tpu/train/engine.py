@@ -79,6 +79,21 @@ class Engine:
             params[name] = variables["params"]
             batch_stats[name] = variables.get("batch_stats", {})
 
+        # pretrained CNN encoders from a local torch checkpoint (the
+        # reference URL-downloads these — net unavailable here)
+        if cfg.pretrained_ckpt:
+            from cvssl_tpu.models import cnn_checkpoint as cc
+            sd = cc.load_torch_state_dict(cfg.pretrained_ckpt)
+            for name, module in self.modules.items():
+                params[name], batch_stats[name], loaded = \
+                    cc.maybe_load_encoder(module, params[name],
+                                          batch_stats[name], sd)
+                if loaded:
+                    import logging
+                    logging.getLogger(__name__).info(
+                        "loaded pretrained encoder into %s from %s",
+                        name, cfg.pretrained_ckpt)
+
         # optimizer over the combined tree, partitioned by model name
         labels = {name: jax.tree_util.tree_map(lambda _: name, params[name])
                   for name in params}

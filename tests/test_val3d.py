@@ -65,6 +65,91 @@ class TestSlidingWindow:
         np.testing.assert_array_equal(pred, 1)
 
 
+class TestMirrorTTA:
+    """nnUNet do_mirroring (``neural_network.py:96,146-151``): 8-way flip
+    averaging must equal the numpy oracle."""
+
+    def _asym_predictor(self):
+        import jax
+        import jax.numpy as jnp
+
+        def predict(patches):
+            # orientation-sensitive "network": the decision threshold is a
+            # spatial ramp, so mirror-averaging genuinely moves the argmax
+            b, d, h, w, _ = patches.shape
+            ramp = (jnp.arange(d)[:, None, None] +
+                    2 * jnp.arange(h)[None, :, None] +
+                    3 * jnp.arange(w)[None, None, :]).astype(jnp.float32)
+            ramp = ramp / ramp.max()  # [0, 1], asymmetric in every axis
+            fg = jax.nn.sigmoid(5.0 * (patches[..., 0] - ramp))
+            return jnp.stack([1 - fg, fg], axis=-1)
+        return predict
+
+    def test_matches_numpy_oracle(self):
+        import itertools
+
+        import jax.numpy as jnp
+        predict = self._asym_predictor()
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 6, 8, 10, 1)).astype(np.float32)
+
+        tta = val3d.mirror_tta(predict, (0, 1, 2))
+        got = np.asarray(tta(jnp.asarray(x)))
+
+        acc = np.zeros((2, 6, 8, 10, 2), np.float64)
+        combos = [c for r in range(4)
+                  for c in itertools.combinations((0, 1, 2), r)]
+        for combo in combos:
+            ax = tuple(a + 1 for a in combo)
+            xm = np.flip(x, ax) if combo else x
+            p = np.asarray(predict(jnp.asarray(np.ascontiguousarray(xm))))
+            acc += np.flip(p, ax) if combo else p
+        want = acc / len(combos)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        assert len(combos) == 8
+
+    def test_evaluator_mirror_flag_changes_prediction(self):
+        predict = self._asym_predictor()
+        rng = np.random.default_rng(1)
+        vol = rng.normal(size=(20, 20, 20)).astype(np.float32) * 3
+        plain = val3d.SlidingWindowEvaluator(
+            predict, (16, 16, 16), 2, 8, 8).predict_volume(vol)
+        mirrored = val3d.SlidingWindowEvaluator(
+            predict, (16, 16, 16), 2, 8, 8,
+            mirror_axes=(0, 1, 2)).predict_volume(vol)
+        assert plain.shape == mirrored.shape == vol.shape
+        # symmetric averaging shifts the decision boundary somewhere
+        assert (plain != mirrored).any()
+
+
+class TestTiledPredict2D:
+    def test_matches_direct_prediction_on_threshold_net(self):
+        import jax.numpy as jnp
+
+        def predict(patches):  # (B, ph, pw, 1) -> (B, ph, pw, 2)
+            fg = (patches[..., 0] > 0.5).astype(jnp.float32)
+            return jnp.stack([1 - fg, fg], axis=-1)
+
+        rng = np.random.default_rng(0)
+        img = (rng.uniform(0, 1, (40, 36)) > 0.5).astype(np.float32)
+        pred = val3d.tiled_predict_2d(predict, img, (16, 16), 2, stride=8)
+        np.testing.assert_array_equal(pred, img.astype(np.int32))
+
+    def test_mirror_flag_runs(self):
+        import jax
+        import jax.numpy as jnp
+
+        def predict(patches):
+            fg = jax.nn.sigmoid(patches[..., 0])
+            return jnp.stack([1 - fg, fg], axis=-1)
+
+        img = np.random.default_rng(1).normal(size=(24, 24)).astype(
+            np.float32)
+        pred = val3d.tiled_predict_2d(predict, img, (16, 16), 2, stride=8,
+                                      mirror=True)
+        assert pred.shape == img.shape
+
+
 class TestEndToEnd3D:
     def test_fit_3d_supervised(self, tmp_path):
         from cvssl_tpu.train.config import TrainConfig

@@ -11,13 +11,24 @@ Status (fetch-forced timings at 24x256^2xC16 vs XLA's 4.3 ms):
 * ``conv3x3_p8``     — shifted-view inputs, auto-pipelined: 3.6 ms (1.2x);
 * ``conv3x3_p8_dma`` — in-kernel halo DMA, input read once: 3.0 ms (1.4x);
 * ``conv3x3_p8_db``  — + double buffering: 3.0 ms (no further gain);
-all numerically exact (rel 2e-7). Since double buffering doesn't move the
-needle, the ~3 ms floor is MXU f32-pass throughput on the 9 banded matmuls
-(58 GF at ~19 TF/s), not DMA. Round-2 lead (probed, not shipped): passing
-bf16 ARRAYS at the pallas_call boundary measured 2.6 ms (1.65x) — but the
-output stayed bit-identical to the f32 run, which is numerically impossible
-for true bf16 inputs; understand what Mosaic actually compiled before
-trusting it. Not yet wired into the models — opt-in.
+matching XLA's conv to rel 2e-7.
+
+RESOLVED (round 2) — the "bf16 boundary anomaly": round 1 observed that
+passing bf16 ARRAYS measured 2.6 ms with BIT-IDENTICAL output to the f32
+run and flagged it impossible. Measured explanation: ``jnp.dot`` at
+DEFAULT precision lowers to a SINGLE bf16 MXU pass even for f32 operands —
+the operands were being rounded to bf16 all along (kernel vs
+Precision.HIGHEST XLA conv: rel 2.2e-3; vs default-precision XLA conv,
+which does the same single-pass bf16: rel 2.3e-7). Feeding bf16 arrays
+therefore changes nothing numerically and just halves HBM traffic
+(3.0 -> 2.6 ms). Round 1's "floor is MXU f32 passes" diagnosis was wrong:
+it was bf16-product/f32-accumulate throughput + bandwidth.
+Pinned by tests/test_pallas_conv.py::TestBf16Boundary.
+
+SUPERSEDED for production: the space-to-depth reformulation
+(``ops/s2d.py``, 1.1 ms bf16 for this conv) beats every variant here and
+is what the models use; this kernel stays as the in-kernel-DMA/banded-
+matmul reference implementation.
 
 Layout: x (B, H, W, C) with C*P == 128. Each grid step processes one image:
 block (1, H+2, (W+2P)*C) resident in VMEM; out (1, H, W*C).

@@ -34,3 +34,36 @@ def test_conv3x3_p8_matches_xla(fn, shape):
     got = fn(x, k, interpret=True, tile_h=shape[1] // 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+class TestBf16Boundary:
+    """Pins the resolved round-1 'bf16 boundary anomaly' (see the module
+    docstring of ops/pallas_conv.py): jnp.dot at DEFAULT precision rounds
+    operands to bf16 on the TPU MXU, so bf16 arrays at the pallas_call
+    boundary are numerically a no-op there (pure HBM-traffic saving)."""
+
+    def test_bf16_arrays_bit_identical_on_tpu(self):
+        if jax.default_backend() != "tpu" and not any(
+                d.platform == "tpu" for d in jax.devices()):
+            pytest.skip("TPU-only behavior (MXU default-precision rounding)")
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 16)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 16, 16)) * 0.1, jnp.float32)
+        y32 = np.asarray(conv3x3_p8(x, k))
+        ybf = np.asarray(conv3x3_p8(x.astype(jnp.bfloat16),
+                                    k.astype(jnp.bfloat16)))
+        np.testing.assert_array_equal(y32, ybf)
+
+    def test_bf16_arrays_close_in_interpret_mode(self):
+        # On CPU (interpret) the dot is true f32, so bf16 inputs only agree
+        # to bf16 rounding — close, not bit-equal.
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 16)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 16, 16)) * 0.1, jnp.float32)
+        y32 = np.asarray(conv3x3_p8(x, k, interpret=True, tile_h=16))
+        ybf = np.asarray(conv3x3_p8(
+            x.astype(jnp.bfloat16).astype(jnp.float32),
+            k.astype(jnp.bfloat16).astype(jnp.float32),
+            interpret=True, tile_h=16))
+        scale = np.abs(y32).max()
+        assert np.abs(y32 - ybf).max() < 0.03 * scale

@@ -145,8 +145,10 @@ def bench_sliding_window():
     import jax.numpy as jnp
     from cvssl_tpu.eval.val3d import SlidingWindowEvaluator
     from cvssl_tpu.models import net_factory_3d
+    from cvssl_tpu.train.config import TrainConfig
 
-    net = net_factory_3d("unet_3D", in_chns=1, class_num=2)
+    kw = TrainConfig(dim=3, patch_size=(96, 96, 96)).model_kwargs("unet_3D")
+    net = net_factory_3d("unet_3D", in_chns=1, class_num=2, **kw)
     variables = net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 96, 96, 96, 1)), train=False)
 

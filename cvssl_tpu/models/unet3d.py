@@ -10,23 +10,48 @@ dropout).
 torch ``InstanceNorm3d`` defaults to affine=False and always uses instance
 statistics — GroupNorm with one group per channel and no scale/bias is the
 exact equivalent.
+
+TPU fast path (``s2d_levels`` > 0 on ``UNet3D``): the top levels run with
+the H, W axes in space-to-depth coordinates (``ops/s2d.py`` 3D helpers) so
+their lane-padding-bound C=16/C=32 convs execute as C=64/C=128 MXU convs —
+exact reformulation, same param tree (kernels stay (3,3,3,C,Co) and are
+re-indexed at trace time). Auto-on for TPU via TrainConfig.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cvssl_tpu.ops import s2d as s2d_ops
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  dtype=None) -> jnp.ndarray:
     """Per-sample per-channel normalization over spatial dims (torch
-    InstanceNorm affine=False)."""
+    InstanceNorm affine=False). Statistics in f32."""
+    xf = x.astype(jnp.float32)
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(dtype or x.dtype)
+
+
+def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5,
+                      dtype=None) -> jnp.ndarray:
+    """instance_norm of the ORIGINAL tensor computed on its (H, W)-s2d
+    form: statistics pool over the 4 sub-position channels of each original
+    channel — exact (same value set)."""
+    b, d, hh, ww, gc = x.shape
+    c = gc // 4
+    xg = x.reshape(b, d, hh, ww, 4, c).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 2, 3, 4), keepdims=True)
+    var = jnp.var(xg, axis=(1, 2, 3, 4), keepdims=True)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    return y.reshape(x.shape).astype(dtype or x.dtype)
 
 
 def channel_dropout(rng, x, p: float):
@@ -44,53 +69,127 @@ def trilinear_x2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class UnetConv3(nn.Module):
-    """Two conv3^3 + InstanceNorm + ReLU (``networks/utils.py:99-124``)."""
+    """Two conv3^3 + InstanceNorm + ReLU (``networks/utils.py:99-124``).
+    ``s2d=True``: in/out are (H, W)-s2d tensors; params identical to the
+    native block (see module docstring)."""
     out_channels: int
+    s2d: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(self.out_channels, (3, 3, 3), padding=1)(x)
-        x = nn.relu(instance_norm(x))
-        x = nn.Conv(self.out_channels, (3, 3, 3), padding=1)(x)
-        return nn.relu(instance_norm(x))
+        if self.s2d:
+            from cvssl_tpu.models.unet import ConvW
+            co = self.out_channels
+            k0, b0 = ConvW(co, (3, 3, 3), x.shape[-1] // 4, name="Conv_0")()
+            x = s2d_ops.conv3x3x3(x, k0, b0, dtype=self.dtype)
+            x = nn.relu(instance_norm_s2d(x, dtype=self.dtype))
+            k1, b1 = ConvW(co, (3, 3, 3), co, name="Conv_1")()
+            x = s2d_ops.conv3x3x3(x, k1, b1, dtype=self.dtype)
+            return nn.relu(instance_norm_s2d(x, dtype=self.dtype))
+        x = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
+                    dtype=self.dtype)(x)
+        x = nn.relu(instance_norm(x, dtype=self.dtype))
+        x = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
+                    dtype=self.dtype)(x)
+        return nn.relu(instance_norm(x, dtype=self.dtype))
 
 
 class UnetUp3CT(nn.Module):
-    """Trilinear up x2 -> concat skip -> UnetConv3 (``utils.py:260-277``)."""
+    """Trilinear up x2 -> concat skip -> UnetConv3 (``utils.py:260-277``).
+
+    s2d mode: the skip arrives in s2d form and the ConvBlock runs in s2d
+    coords; the trilinear x2 on ``below`` runs in native coords (cheap)
+    and is s2d'd before the concat. ``s2d_below``: ``below`` is s2d too."""
     out_channels: int
+    s2d: bool = False
+    s2d_below: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, skip, below, *, train: bool = False):
+        if self.s2d:
+            if self.s2d_below:
+                below = s2d_ops.depth_to_space3d(below)
+            up = s2d_ops.space_to_depth3d(trilinear_x2(below))
+            x = s2d_ops.concat3d([skip, up],
+                                 [skip.shape[-1] // 4, up.shape[-1] // 4])
+            return UnetConv3(self.out_channels, s2d=True,
+                             dtype=self.dtype)(x, train=train)
         up = trilinear_x2(below)
-        return UnetConv3(self.out_channels)(
+        return UnetConv3(self.out_channels, dtype=self.dtype)(
             jnp.concatenate([skip, up], axis=-1), train=train)
 
 
 class UNet3D(nn.Module):
-    """``unet_3D`` (``unet_3D.py:20-97``)."""
+    """``unet_3D`` (``unet_3D.py:20-97``). ``s2d_levels``/``dtype``: TPU
+    fast path — same function, same param tree (module docstring)."""
     in_chns: int = 1
     num_classes: int = 2
     feature_scale: int = 4
+    s2d_levels: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         f = [int(v / self.feature_scale) for v in (64, 128, 256, 512, 1024)]
-        conv1 = UnetConv3(f[0])(x, train=train)
-        conv2 = UnetConv3(f[1])(nn.max_pool(conv1, (2, 2, 2), (2, 2, 2)),
-                                train=train)
-        conv3 = UnetConv3(f[2])(nn.max_pool(conv2, (2, 2, 2), (2, 2, 2)),
-                                train=train)
-        conv4 = UnetConv3(f[3])(nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)),
-                                train=train)
-        center = UnetConv3(f[4])(nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)),
-                                 train=train)
+        s, dt = self.s2d_levels, self.dtype
+        if s == 0:
+            return self._call_native(x, f, train)
+        div = 2 ** s
+        assert x.shape[2] % div == 0 and x.shape[3] % div == 0, x.shape
+        assert 1 <= s <= 2
+
+        def pool_d(z):  # depth-axis half of the 2^3 maxpool
+            return nn.max_pool(z, (2, 1, 1), (2, 1, 1))
+
+        h = s2d_ops.space_to_depth3d(x)
+        conv1 = UnetConv3(f[0], s2d=True, dtype=dt)(h, train=train)
+        h = pool_d(s2d_ops.group_max3d(conv1))       # full 2^3 pool, native
+        if s >= 2:
+            h = s2d_ops.space_to_depth3d(h)
+        conv2 = UnetConv3(f[1], s2d=s >= 2, dtype=dt)(h, train=train)
+        if s >= 2:
+            h = pool_d(s2d_ops.group_max3d(conv2))
+        else:
+            h = nn.max_pool(conv2, (2, 2, 2), (2, 2, 2))
+        conv3 = UnetConv3(f[2], dtype=dt)(h, train=train)
+        conv4 = UnetConv3(f[3], dtype=dt)(
+            nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)), train=train)
+        center = UnetConv3(f[4], dtype=dt)(
+            nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)), train=train)
         center = nn.Dropout(0.3, deterministic=not train)(center)
-        up4 = UnetUp3CT(f[3])(conv4, center, train=train)
-        up3 = UnetUp3CT(f[2])(conv3, up4, train=train)
-        up2 = UnetUp3CT(f[1])(conv2, up3, train=train)
-        up1 = UnetUp3CT(f[0])(conv1, up2, train=train)
+        up4 = UnetUp3CT(f[3], dtype=dt)(conv4, center, train=train)
+        up3 = UnetUp3CT(f[2], dtype=dt)(conv3, up4, train=train)
+        up2 = UnetUp3CT(f[1], s2d=s >= 2, dtype=dt)(conv2, up3, train=train)
+        up1 = UnetUp3CT(f[0], s2d=True, s2d_below=s >= 2,
+                        dtype=dt)(conv1, up2, train=train)
         up1 = nn.Dropout(0.3, deterministic=not train)(up1)
-        return nn.Conv(self.num_classes, (1, 1, 1))(up1)
+        from cvssl_tpu.models.unet import ConvW
+        k, b = ConvW(self.num_classes, (1, 1, 1), f[0], name="Conv_0")()
+        out = s2d_ops.conv1x1(up1, k.reshape(f[0], self.num_classes), b,
+                              dtype=dt)
+        return s2d_ops.depth_to_space3d(out).astype(jnp.float32)
+
+    def _call_native(self, x, f, train):
+        dt = self.dtype
+        conv1 = UnetConv3(f[0], dtype=dt)(x, train=train)
+        conv2 = UnetConv3(f[1], dtype=dt)(
+            nn.max_pool(conv1, (2, 2, 2), (2, 2, 2)), train=train)
+        conv3 = UnetConv3(f[2], dtype=dt)(
+            nn.max_pool(conv2, (2, 2, 2), (2, 2, 2)), train=train)
+        conv4 = UnetConv3(f[3], dtype=dt)(
+            nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)), train=train)
+        center = UnetConv3(f[4], dtype=dt)(
+            nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)), train=train)
+        center = nn.Dropout(0.3, deterministic=not train)(center)
+        up4 = UnetUp3CT(f[3], dtype=dt)(conv4, center, train=train)
+        up3 = UnetUp3CT(f[2], dtype=dt)(conv3, up4, train=train)
+        up2 = UnetUp3CT(f[1], dtype=dt)(conv2, up3, train=train)
+        up1 = UnetUp3CT(f[0], dtype=dt)(conv1, up2, train=train)
+        up1 = nn.Dropout(0.3, deterministic=not train)(up1)
+        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=dt)(up1)
+        return out.astype(jnp.float32)
 
 
 class UnetDsv3(nn.Module):

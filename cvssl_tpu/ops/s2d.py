@@ -113,7 +113,7 @@ def conv1x1(x: jnp.ndarray, k: jnp.ndarray, bias=None, dtype=None):
     xg = x.reshape(x.shape[:-1] + (4, ci))
     if dtype is not None:
         xg, k = xg.astype(dtype), k.astype(dtype)
-    y = jnp.einsum("bhwgc,cd->bhwgd", xg, k)
+    y = jnp.einsum("...gc,cd->...gd", xg, k)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y.reshape(x.shape[:-1] + (4 * co,))
@@ -129,6 +129,67 @@ def group_max(x: jnp.ndarray) -> jnp.ndarray:
 def concat(xs, channels) -> jnp.ndarray:
     """Channel-concat of ORIGINAL tensors, performed on their s2d forms.
     ``xs[i]`` is (B, HH, WW, 4*channels[i]); result groups stay (a, b)-major."""
+    grouped = [x.reshape(x.shape[:-1] + (4, c))
+               for x, c in zip(xs, channels)]
+    y = jnp.concatenate(grouped, axis=-1)
+    return y.reshape(y.shape[:-2] + (4 * y.shape[-1],))
+
+
+# ---------------------------------------------------------------------------
+# 3D (NDHWC): s2d on the H, W axes only — the depth axis keeps its native
+# extent (3D convs are lane-padding-bound exactly like 2D; measured on v5e:
+# the 48^3/C32 UNet3D conv runs 2.1x faster in this form, the full-res
+# decoder convs ~2x).
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth3d(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, D, H/r, W/r, r*r*C), (a*r+b)*C + c layout."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(b, d, h // r, w // r, r * r * c)
+
+
+def depth_to_space3d(y: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    b, d, hh, ww, gc = y.shape
+    c = gc // (r * r)
+    y = y.reshape(b, d, hh, ww, r, r, c)
+    y = y.transpose(0, 1, 2, 4, 3, 5, 6)
+    return y.reshape(b, d, hh * r, ww * r, c)
+
+
+def s2d_kernel3x3x3(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, 3, C, Co) -> (3, 3, 3, 4C, 4Co): the 2D in-plane transform
+    applied independently per depth tap (the D axis is untouched)."""
+    c, co = k.shape[3], k.shape[4]
+    sel = jnp.asarray(_selector(), k.dtype)
+    big = jnp.einsum("ijABabhw,Dhwce->DijABcabe", sel, k)
+    return big.reshape(3, 3, 3, 4 * c, 4 * co)
+
+
+def conv3x3x3(x: jnp.ndarray, k: jnp.ndarray, bias=None, dtype=None):
+    """SAME 3^3 stride-1 conv in (H, W)-s2d coordinates.
+    x: (B, D, HH, WW, 4*Ci); k: ORIGINAL kernel (3, 3, 3, Ci, Co)."""
+    big = s2d_kernel3x3x3(k)
+    if dtype is not None:
+        x, big = x.astype(dtype), big.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, big, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 4)
+    return y
+
+
+def group_max3d(x: jnp.ndarray) -> jnp.ndarray:
+    """In-plane 2x2 maxpool of the ORIGINAL tensor, in s2d coords:
+    (B, D, HH, WW, 4C) -> (B, D, HH, WW, C)."""
+    b, d, hh, ww, gc = x.shape
+    return x.reshape(b, d, hh, ww, 4, gc // 4).max(axis=4)
+
+
+def concat3d(xs, channels) -> jnp.ndarray:
     grouped = [x.reshape(x.shape[:-1] + (4, c))
                for x, c in zip(xs, channels)]
     y = jnp.concatenate(grouped, axis=-1)

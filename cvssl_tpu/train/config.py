@@ -97,12 +97,13 @@ class TrainConfig:
     pretrained_ckpt: Optional[str] = None
 
     def model_kwargs(self, net_type: str) -> dict:
-        """Per-family constructor knobs: TPU fast path for the plain 2D
-        UNet (resolved compute dtype + s2d levels — exact reformulations),
-        and ``vit_kwargs`` overrides for the SwinUnet slot."""
+        """Per-family constructor knobs: TPU fast path for the plain UNets
+        (resolved compute dtype + s2d levels — exact reformulations; 2D
+        s2d's both spatial axes, 3D s2d's H/W only), and ``vit_kwargs``
+        overrides for the SwinUnet slot."""
         if net_type in ("ViT_Seg", "swin_unet"):
             return dict(self.vit_kwargs or {})
-        if net_type != "unet" or self.dim == 3:
+        if net_type not in ("unet", "unet_3D"):
             return {}
         import jax
         import jax.numpy as jnp
@@ -110,7 +111,10 @@ class TrainConfig:
         s2d = self.s2d_levels
         if s2d is None:
             s2d = 2 if on_tpu else 0
-        if any(p % (2 ** max(s2d, 1)) for p in self.patch_size):
+        # s2d'd axes must divide 2**levels (3D: the trailing H/W only)
+        checked = self.patch_size if net_type == "unet" \
+            else self.patch_size[-2:]
+        if any(p % (2 ** max(s2d, 1)) for p in checked):
             s2d = 0
         dt = self.dtype
         if dt == "auto":

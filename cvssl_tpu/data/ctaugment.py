@@ -173,6 +173,15 @@ class CTAugment:
         p[p < self.th] = 0
         return p
 
+    def stats(self) -> str:
+        """Human-readable learned-rate table (``ctaugment.py:99-110``)."""
+        return "\n".join(
+            "%-16s    %s" % (
+                k,
+                " / ".join(" ".join("%.2f" % x for x in self.rate_to_p(rate))
+                           for rate in self.rates[k]))
+            for k in sorted(OPS.keys()))
+
     def policy(self, probe: bool, weak: bool):
         keys = list(OPS.keys())
         kl = keys[NUM_STRONG_OPS:] if weak else keys[:NUM_STRONG_OPS]

@@ -16,7 +16,7 @@ is a batched (B*nW, heads, 49, 49) einsum — MXU-batched matmuls.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,13 +89,14 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
-        x = nn.Dense(self.out)(x)
+        x = nn.Dense(self.out, dtype=self.dtype)(x)
         return nn.Dropout(self.drop, deterministic=not train)(x)
 
 
@@ -108,6 +109,7 @@ class WindowAttention(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None, *,
@@ -117,11 +119,12 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
 
         ws = self.window_size
         table = self.param("relative_position_bias_table",
@@ -136,12 +139,15 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(b_ // nw, nw, heads, n, n) + \
                 jnp.asarray(mask)[None, :, None]
             attn = attn.reshape(-1, heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # softmax in f32 for stability, back to compute dtype for the PV
+        # matmul (bf16 MXU)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(self.dtype or jnp.float32)
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(attn.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        out = nn.Dense(self.dim, name="proj")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
 
@@ -157,6 +163,7 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -166,13 +173,14 @@ class SwinBlock(nn.Module):
             ws, shift = min(h, w), 0
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         windows = window_partition(x, ws)
         mask = shifted_window_mask(h, w, ws, shift) if shift > 0 else None
         attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
                                self.qk_scale, self.attn_drop, self.drop,
+                               dtype=self.dtype,
                                name="attn")(windows, mask, train=train)
         x = window_reverse(attn, ws, h, w)
         if shift > 0:
@@ -180,13 +188,16 @@ class SwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path)(x, train=train)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                      name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), train=train)
+                      dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="norm2")(x), train=train)
         return x + DropPath(self.drop_path)(mlp_out, train=train)
 
 
 class PatchMerging(nn.Module):
     """2x2 space-to-depth + LN + linear 4C->2C (reference ``:309-355``)."""
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -196,35 +207,40 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
 
 
 class PatchExpand(nn.Module):
     """linear C->2C + depth-to-space x2 + LN on C/2 (reference ``:358-382``)."""
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = nn.Dense(2 * self.dim, use_bias=False, name="expand")(x)
+        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                     name="expand")(x)
         x = x.reshape(b, h, w, 2, 2, self.dim // 2)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w,
                                                   self.dim // 2)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class FinalPatchExpandX4(nn.Module):
     """linear C->16C + depth-to-space x4 + LN on C (reference ``:385-410``)."""
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = nn.Dense(16 * self.dim, use_bias=False, name="expand")(x)
+        x = nn.Dense(16 * self.dim, use_bias=False, dtype=self.dtype,
+                     name="expand")(x)
         x = x.reshape(b, h, w, 4, 4, self.dim)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w, self.dim)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class SwinUnet(nn.Module):
@@ -247,6 +263,7 @@ class SwinUnet(nn.Module):
     patch_norm: bool = True
     use_checkpoint: bool = False  # remat blocks (reference use_checkpoint,
                                   # vision_transformer.py:46)
+    dtype: Any = None             # bf16 compute (params/softmax/logits f32)
 
     def _block(self, **kw):
         cls = nn.remat(SwinBlock, static_argnums=(2,)) \
@@ -263,9 +280,11 @@ class SwinUnet(nn.Module):
 
         # patch embed: conv k=4 s=4 (+ LN)
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
-                    strides=self.patch_size, name="patch_embed")(x)
+                    strides=self.patch_size, dtype=self.dtype,
+                    name="patch_embed")(x)
         if self.patch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="patch_norm")(x)
         if self.ape:
             b, h, w, c = x.shape
             pos = self.param("absolute_pos_embed", trunc_normal_init,
@@ -287,10 +306,11 @@ class SwinUnet(nn.Module):
                     qk_scale=self.qk_scale, drop=self.drop_rate,
                     attn_drop=self.attn_drop_rate,
                     drop_path=dpr[sum(self.depths[:i]) + d],
-                    name=f"enc_{i}_{d}")(x, train)
+                    dtype=self.dtype, name=f"enc_{i}_{d}")(x, train)
             if i < num_layers - 1:
-                x = PatchMerging(dim, name=f"downsample_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+                x = PatchMerging(dim, dtype=self.dtype,
+                                 name=f"downsample_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         # decoder (depths mirror the ENCODER depths — reference dead-arg)
         for i in range(num_layers):
@@ -312,11 +332,14 @@ class SwinUnet(nn.Module):
                         qk_scale=self.qk_scale, drop=self.drop_rate,
                         attn_drop=self.attn_drop_rate,
                         drop_path=dpr[sum(self.depths[:stage]) + d],
-                        name=f"dec_{i}_{d}")(x, train)
+                        dtype=self.dtype, name=f"dec_{i}_{d}")(x, train)
                 if i < num_layers - 1:
-                    x = PatchExpand(dim, name=f"up_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_up")(x)
+                    x = PatchExpand(dim, dtype=self.dtype,
+                                    name=f"up_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
 
-        x = FinalPatchExpandX4(self.embed_dim, name="final_up")(x)
-        return nn.Conv(self.num_classes, (1, 1), use_bias=False,
-                       name="output")(x)
+        x = FinalPatchExpandX4(self.embed_dim, dtype=self.dtype,
+                               name="final_up")(x)
+        out = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="output")(x)
+        return out.astype(jnp.float32)

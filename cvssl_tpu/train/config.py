@@ -102,6 +102,11 @@ class TrainConfig:
         s2d's both spatial axes, 3D s2d's H/W only), and ``vit_kwargs``
         overrides for the SwinUnet slot."""
         if net_type in ("ViT_Seg", "swin_unet"):
+            # NOTE: bf16 measured SLOWER for SwinUnet train at 224^2 on
+            # v5e (128.8 vs 143.6 slices/s in cross-teaching — the
+            # softmax/LayerNorm cast boundaries outweigh the matmul gains
+            # at embed 96), so dtype is NOT auto-applied here; opt in via
+            # vit_kwargs={"dtype": ...} if profiling says otherwise.
             return dict(self.vit_kwargs or {})
         if net_type not in ("unet", "unet_3D"):
             return {}

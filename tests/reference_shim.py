@@ -44,6 +44,13 @@ class _ScalarRecorder:
     def add_image(self, *a, **k):
         pass
 
+    def add_scalars(self, tag, values, step=None):
+        for k, v in values.items():
+            self.add_scalar(f"{tag}/{k}", v, step)
+
+    def flush(self):
+        pass
+
     def close(self):
         pass
 

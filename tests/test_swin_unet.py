@@ -81,3 +81,23 @@ class TestSwinUnet:
         leaves = jax.tree_util.tree_leaves(g)
         nonzero = sum(float(jnp.abs(v).sum()) > 0 for v in leaves)
         assert nonzero > len(leaves) * 0.7
+
+
+def test_swin_bf16_close_to_f32():
+    """bf16 compute dtype (TPU fast path) stays within bf16 tolerance of
+    the f32 forward; params and logits remain f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cvssl_tpu.models.swin_unet import SwinUnet
+
+    f32 = SwinUnet(num_classes=4, embed_dim=24, num_heads=(1, 2, 4, 8))
+    bf16 = SwinUnet(num_classes=4, embed_dim=24, num_heads=(1, 2, 4, 8),
+                    dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 224, 224, 1)), jnp.float32)
+    v = f32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref = np.asarray(f32.apply(v, x, train=False))
+    got = np.asarray(bf16.apply(v, x, train=False))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.08 * scale

@@ -2,10 +2,9 @@
 ``code/dataloaders/acdc_data_processing.py`` and
 ``code/dataloaders/brats_proprecessing.py``.
 
-NIfTI IO requires SimpleITK or nibabel (neither ships in this image); the
-functions degrade to clear errors when both are missing, while the pure-numpy
-transforms (normalization, bbox crop, intensity clip) are importable and
-tested regardless.
+NIfTI IO prefers SimpleITK/nibabel when present and otherwise falls back to
+the built-in from-scratch NIfTI-1 reader (``utils/nifti.py``) — real
+ACDC/BraTS ``.nii.gz`` trees preprocess fully offline.
 """
 from __future__ import annotations
 
@@ -25,9 +24,12 @@ def _read_nifti(path: str) -> np.ndarray:
     try:
         import nibabel as nib
         return np.asanyarray(nib.load(path).dataobj).T
-    except ImportError as e:
-        raise ImportError(
-            "NIfTI IO needs SimpleITK or nibabel (neither installed)") from e
+    except ImportError:
+        pass
+    # offline fallback: the built-in NIfTI-1 reader (single-file n+1,
+    # little-endian — covers standard ACDC/BraTS exports)
+    from cvssl_tpu.utils.nifti import load_nifti
+    return load_nifti(path)[0]
 
 
 def minmax_normalize(image: np.ndarray) -> np.ndarray:

@@ -135,7 +135,9 @@ def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
             [corners, jnp.tile(corners[-1:], (pad, 1))]) if pad else corners
         (score, cnt), _ = jax.lax.scan(step, (score, cnt),
                                        corners_p.reshape(n_batches, batch, 3))
-        return score, cnt
+        # finalize in the same program: eager div/argmax/cast each cost a
+        # ~30ms tunnel round-trip, and uint8 keeps the D2H fetch 4x smaller
+        return jnp.argmax(score / cnt, axis=-1).astype(jnp.uint8)
 
     return run
 
@@ -146,7 +148,7 @@ class SlidingWindowEvaluator:
 
     def __init__(self, predict_fn: Callable, patch_size: Sequence[int],
                  num_classes: int, stride_xy: int, stride_z: int,
-                 patch_batch: int = 4, gaussian: bool = False,
+                 patch_batch: int = 6, gaussian: bool = False,
                  mirror_axes: Optional[Sequence[int]] = None):
         self.predict_fn = predict_fn
         self.patch_size = tuple(patch_size)
@@ -179,12 +181,9 @@ class SlidingWindowEvaluator:
         padded, pads = self._pad(image)
         corners = compute_corners(padded.shape, self.patch_size,
                                   self.stride_xy, self.stride_z)
-        score, cnt = self._acc(jnp.asarray(padded, jnp.float32),
-                               jnp.asarray(corners))
-        # uint8 keeps the D2H fetch 4x smaller (slow direction on tunnels)
         label_map = np.asarray(
-            jnp.argmax(score / cnt, axis=-1).astype(jnp.uint8)).astype(
-                np.int32)
+            self._acc(jnp.asarray(padded, jnp.float32),
+                      jnp.asarray(corners))).astype(np.int32)
         sl = tuple(slice(p0, label_map.shape[i] - p1)
                    for i, (p0, p1) in enumerate(pads))
         return label_map[sl]

@@ -43,6 +43,34 @@ class GridAttentionBlock3D(nn.Module):
         return w, att
 
 
+class GridAttentionBlock2D(nn.Module):
+    """2D 'concatenation' grid attention (``grid_attention_layer.py:
+    162-171`` — the dimension=2 instantiation of ``_GridAttentionBlockND``;
+    unused by any reference trainer but part of the public surface).
+    x (B, H, W, C); g (B, Hg, Wg, Cg)."""
+    in_channels: int
+    inter_channels: int
+    sub_sample: int = 2
+
+    @nn.compact
+    def __call__(self, x, g, *, train: bool = False):
+        s = self.sub_sample
+        theta_x = nn.Conv(self.inter_channels, (s, s), strides=s,
+                          padding=0, use_bias=False)(x)
+        phi_g = nn.Conv(self.inter_channels, (1, 1))(g)
+        b, h, w, c = theta_x.shape
+        phi_g = jax.image.resize(phi_g, (b, h, w, c), "bilinear")
+        f = nn.relu(theta_x + phi_g)
+        att = jax.nn.sigmoid(nn.Conv(1, (1, 1))(f))
+        att = jax.image.resize(att, (x.shape[0], x.shape[1], x.shape[2], 1),
+                               "bilinear")
+        y = att * x
+        out = nn.Conv(self.in_channels, (1, 1))(y)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5)(out)
+        return out, att
+
+
 class MultiAttentionBlock(nn.Module):
     """Two parallel gates combined by conv+BN+ReLU
     (``attention_unet.py:113-135``)."""

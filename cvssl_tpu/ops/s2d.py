@@ -136,6 +136,100 @@ def concat(xs, channels) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Shifted-grid 2-tap conv pair: a SAME 3x3 conv maps the ALIGNED s2d grid
+# (cell i = rows 2i, 2i+1) onto the SHIFTED grid (cell j = rows 2j-1, 2j,
+# one extra cell per axis) — and back — with a 2x2-tap kernel instead of the
+# 3x3-with-zeros kernel, because each output sub-position then reads only
+# two consecutive input cells. FLOPs per output pixel drop from 36C to 16C
+# (2.25x). A ConvBlock applies conv1 aligned->shifted and conv2
+# shifted->aligned, so the reformulation never leaks outside the block;
+# the shifted tensor's overhang sub-rows (original rows -1 and H) must be
+# zeroed (they play the SAME-padding role for conv2) via shifted_mask().
+#
+# Shared tap rule for both directions: dh = 2*di + s_in - s_out - 1.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _selector_k2() -> np.ndarray:
+    s = np.zeros((2, 2, 2, 2, 2, 2, 3, 3), np.float32)
+    for di in range(2):
+        for dj in range(2):
+            for a2 in range(2):
+                for b2 in range(2):
+                    for a in range(2):
+                        for b in range(2):
+                            dh = 2 * di + a2 - a - 1
+                            dw = 2 * dj + b2 - b - 1
+                            if -1 <= dh <= 1 and -1 <= dw <= 1:
+                                s[di, dj, a2, b2, a, b, dh + 1, dw + 1] = 1.0
+    return s
+
+
+def k2_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, Co) -> shifted-grid 2-tap kernel (2, 2, 4C, 4Co)."""
+    c, co = k.shape[2], k.shape[3]
+    sel = jnp.asarray(_selector_k2(), k.dtype)
+    big = jnp.einsum("ijABabhw,hwcd->ijABcabd", sel, k)
+    return big.reshape(2, 2, 4 * c, 4 * co)
+
+
+@functools.lru_cache(maxsize=None)
+def _shifted_mask_np(hh: int, ww: int) -> np.ndarray:
+    """(hh+1, ww+1, 4, 1) zero-mask for the shifted grid's overhang
+    sub-rows/cols (original row -1 / row 2*hh, col likewise)."""
+    m = np.ones((hh + 1, ww + 1, 2, 2, 1), np.float32)
+    m[0, :, 0, :, :] = 0.0       # row -1
+    m[hh, :, 1, :, :] = 0.0      # row 2*hh
+    m[:, 0, :, 0, :] = 0.0       # col -1
+    m[:, ww, :, 1, :] = 0.0      # col 2*ww
+    return m.reshape(hh + 1, ww + 1, 4, 1)
+
+
+def shifted_mask(hh: int, ww: int, dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.asarray(_shifted_mask_np(hh, ww), dtype)
+
+
+def apply_shifted_mask(y: jnp.ndarray) -> jnp.ndarray:
+    """Zero the overhang positions of a shifted-grid tensor
+    (B, hh+1, ww+1, 4C)."""
+    b, h1, w1, gc = y.shape
+    m = shifted_mask(h1 - 1, w1 - 1, y.dtype)
+    yg = y.reshape(b, h1, w1, 4, gc // 4)
+    return (yg * m[None]).reshape(y.shape)
+
+
+def conv3x3_to_shifted(x: jnp.ndarray, k: jnp.ndarray, bias=None,
+                       dtype=None):
+    """SAME 3x3 conv, aligned s2d input (B, HH, WW, 4Ci) -> shifted output
+    (B, HH+1, WW+1, 4Co), overhang already masked to zero."""
+    big = k2_kernel(k)
+    if dtype is not None:
+        x, big = x.astype(dtype), big.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, big, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 4)
+    return apply_shifted_mask(y)
+
+
+def conv3x3_from_shifted(x: jnp.ndarray, k: jnp.ndarray, bias=None,
+                         dtype=None):
+    """SAME 3x3 conv, shifted input (B, HH+1, WW+1, 4Ci; overhang MUST be
+    zero) -> aligned s2d output (B, HH, WW, 4Co)."""
+    big = k2_kernel(k)
+    if dtype is not None:
+        x, big = x.astype(dtype), big.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, big, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 4)
+    return y
+
+
+# ---------------------------------------------------------------------------
 # 3D (NDHWC): s2d on the H, W axes only — the depth axis keeps its native
 # extent (3D convs are lane-padding-bound exactly like 2D; measured on v5e:
 # the 48^3/C32 UNet3D conv runs 2.1x faster in this form, the full-res

@@ -103,3 +103,20 @@ def test_registry_3d():
     for name in ["unet_3D", "unet_3D_dv_semi", "vnet", "voxresnet",
                  "attention_unet", "unetr", "discriminator"]:
         assert name in av
+
+
+def test_grid_attention_2d_shapes():
+    """grid_attention_layer.py:162-171 dimension=2 variant (dead upstream,
+    ported for surface completeness)."""
+    import jax
+    import jax.numpy as jnp
+    from cvssl_tpu.models.attention_unet import GridAttentionBlock2D
+
+    blk = GridAttentionBlock2D(in_channels=32, inter_channels=16)
+    x = jnp.zeros((2, 32, 32, 32))
+    g = jnp.zeros((2, 16, 16, 64))
+    v = blk.init({"params": jax.random.PRNGKey(0)}, x, g, train=False)
+    out, att = blk.apply(v, x, g, train=False)
+    assert out.shape == x.shape
+    assert att.shape == (2, 32, 32, 1)
+    assert float(jnp.isfinite(out).all())

@@ -41,15 +41,19 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
 
 
 def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5,
-                      dtype=None) -> jnp.ndarray:
+                      dtype=None, true_count=None) -> jnp.ndarray:
     """instance_norm of the ORIGINAL tensor computed on its (H, W)-s2d
     form: statistics pool over the 4 sub-position channels of each original
-    channel — exact (same value set)."""
+    channel — exact (same value set). ``true_count`` excludes zero overhang
+    positions of the shifted-grid form from the statistics denominators."""
     b, d, hh, ww, gc = x.shape
     c = gc // 4
     xg = x.reshape(b, d, hh, ww, 4, c).astype(jnp.float32)
-    mean = jnp.mean(xg, axis=(1, 2, 3, 4), keepdims=True)
-    var = jnp.var(xg, axis=(1, 2, 3, 4), keepdims=True)
+    n = true_count or (d * hh * ww * 4)
+    axes = (1, 2, 3, 4)
+    mean = jnp.sum(xg, axis=axes, keepdims=True) / n
+    var = jnp.sum(jnp.square(xg), axis=axes, keepdims=True) / n \
+        - jnp.square(mean)
     y = (xg - mean) * jax.lax.rsqrt(var + eps)
     return y.reshape(x.shape).astype(dtype or x.dtype)
 
@@ -82,10 +86,15 @@ class UnetConv3(nn.Module):
             from cvssl_tpu.models.unet import ConvW
             co = self.out_channels
             k0, b0 = ConvW(co, (3, 3, 3), x.shape[-1] // 4, name="Conv_0")()
-            x = s2d_ops.conv3x3x3(x, k0, b0, dtype=self.dtype)
-            x = nn.relu(instance_norm_s2d(x, dtype=self.dtype))
             k1, b1 = ConvW(co, (3, 3, 3), co, name="Conv_1")()
-            x = s2d_ops.conv3x3x3(x, k1, b1, dtype=self.dtype)
+            # shifted-grid 2-tap pair (2.25x fewer conv FLOPs; exactness
+            # and overhang semantics as in the 2D ConvBlock)
+            _, d, hh, ww, _ = x.shape
+            x = s2d_ops.conv3x3x3_to_shifted(x, k0, b0, dtype=self.dtype)
+            x = nn.relu(instance_norm_s2d(x, dtype=self.dtype,
+                                          true_count=d * hh * ww * 4))
+            x = s2d_ops.apply_shifted_mask3d(x)
+            x = s2d_ops.conv3x3x3_from_shifted(x, k1, b1, dtype=self.dtype)
             return nn.relu(instance_norm_s2d(x, dtype=self.dtype))
         x = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
                     dtype=self.dtype)(x)

@@ -276,6 +276,53 @@ def conv3x3x3(x: jnp.ndarray, k: jnp.ndarray, bias=None, dtype=None):
     return y
 
 
+def k2_kernel3d(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, 3, C, Co) -> shifted-grid kernel (3, 2, 2, 4C, 4Co): the D
+    axis keeps its three native taps, H/W use the 2-tap shifted form."""
+    c, co = k.shape[3], k.shape[4]
+    sel = jnp.asarray(_selector_k2(), k.dtype)
+    big = jnp.einsum("ijABabhw,Dhwce->DijABcabe", sel, k)
+    return big.reshape(3, 2, 2, 4 * c, 4 * co)
+
+
+def apply_shifted_mask3d(y: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, hh+1, ww+1, 4C): zero the in-plane overhang positions."""
+    b, d, h1, w1, gc = y.shape
+    m = shifted_mask(h1 - 1, w1 - 1, y.dtype)
+    yg = y.reshape(b, d, h1, w1, 4, gc // 4)
+    return (yg * m[None, None]).reshape(y.shape)
+
+
+def conv3x3x3_to_shifted(x: jnp.ndarray, k: jnp.ndarray, bias=None,
+                         dtype=None):
+    """SAME 3^3 conv, aligned (H,W)-s2d input (B, D, HH, WW, 4Ci) ->
+    shifted output (B, D, HH+1, WW+1, 4Co), overhang masked."""
+    big = k2_kernel3d(k)
+    if dtype is not None:
+        x, big = x.astype(dtype), big.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, big, (1, 1, 1), [(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 4)
+    return apply_shifted_mask3d(y)
+
+
+def conv3x3x3_from_shifted(x: jnp.ndarray, k: jnp.ndarray, bias=None,
+                           dtype=None):
+    """SAME 3^3 conv, shifted input (overhang MUST be zero) -> aligned
+    (H,W)-s2d output (B, D, HH, WW, 4Co)."""
+    big = k2_kernel3d(k)
+    if dtype is not None:
+        x, big = x.astype(dtype), big.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, big, (1, 1, 1), [(1, 1), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 4)
+    return y
+
+
 def group_max3d(x: jnp.ndarray) -> jnp.ndarray:
     """In-plane 2x2 maxpool of the ORIGINAL tensor, in s2d coords:
     (B, D, HH, WW, 4C) -> (B, D, HH, WW, C)."""

@@ -16,15 +16,17 @@ import numpy as np
 
 
 def _read_nifti(path: str) -> np.ndarray:
+    # AttributeError also falls through: test harnesses may install
+    # import-shape stubs of these packages (tests/reference_shim.py)
     try:
         import SimpleITK as sitk
         return sitk.GetArrayFromImage(sitk.ReadImage(path))
-    except ImportError:
+    except (ImportError, AttributeError, RuntimeError):
         pass
     try:
         import nibabel as nib
         return np.asanyarray(nib.load(path).dataobj).T
-    except ImportError:
+    except (ImportError, AttributeError, RuntimeError):
         pass
     # offline fallback: the built-in NIfTI-1 reader (single-file n+1,
     # little-endian — covers standard ACDC/BraTS exports)

@@ -66,6 +66,17 @@ def channel_dropout(rng, x, p: float):
     return jnp.where(keep, x / (1.0 - p), 0.0)
 
 
+def channel_dropout_s2d(rng, x, p: float):
+    """channel_dropout of the ORIGINAL tensor on its (H,W)-s2d form: the 4
+    sub-position channels of each original channel drop together (same
+    per-ORIGINAL-channel Bernoulli as the native op)."""
+    b, d, hh, ww, gc = x.shape
+    c = gc // 4
+    keep = jax.random.bernoulli(rng, 1.0 - p, (b, 1, 1, 1, 1, c))
+    xg = x.reshape(b, d, hh, ww, 4, c)
+    return jnp.where(keep, xg / (1.0 - p), 0.0).reshape(x.shape)
+
+
 def trilinear_x2(x: jnp.ndarray) -> jnp.ndarray:
     """Trilinear upsample x2 (torch align_corners=False == jax half-pixel)."""
     b, d, h, w, c = x.shape
@@ -216,42 +227,73 @@ class UnetDsv3(nn.Module):
 
 class UNet3DDeepSup(nn.Module):
     """``unet_3D_dv_semi`` (``unet_3D_dv_semi.py:13-112``): 4 DSV heads with
-    channel dropout p = .5/.3/.2/.1 down the decoder."""
+    channel dropout p = .5/.3/.2/.1 down the decoder. ``s2d_levels``/
+    ``dtype``: TPU fast path like ``UNet3D`` (exact, same param tree;
+    channel dropout drops the 4 sub-position channels together)."""
     in_chns: int = 1
     num_classes: int = 2
     feature_scale: int = 4
+    s2d_levels: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         f = [int(v / self.feature_scale) for v in (64, 128, 256, 512, 1024)]
-        conv1 = UnetConv3(f[0])(x, train=train)
-        conv2 = UnetConv3(f[1])(nn.max_pool(conv1, (2, 2, 2), (2, 2, 2)),
-                                train=train)
-        conv3 = UnetConv3(f[2])(nn.max_pool(conv2, (2, 2, 2), (2, 2, 2)),
-                                train=train)
-        conv4 = UnetConv3(f[3])(nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)),
-                                train=train)
-        center = UnetConv3(f[4])(nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)),
-                                 train=train)
+        s, dt = self.s2d_levels, self.dtype
+        assert 0 <= s <= 2
+
+        def pool_d(z):
+            return nn.max_pool(z, (2, 1, 1), (2, 1, 1))
+
+        if s >= 1:
+            h = s2d_ops.space_to_depth3d(x)
+        else:
+            h = x
+        conv1 = UnetConv3(f[0], s2d=s >= 1, dtype=dt)(h, train=train)
+        if s >= 1:
+            h = pool_d(s2d_ops.group_max3d(conv1))
+            if s >= 2:
+                h = s2d_ops.space_to_depth3d(h)
+        else:
+            h = nn.max_pool(conv1, (2, 2, 2), (2, 2, 2))
+        conv2 = UnetConv3(f[1], s2d=s >= 2, dtype=dt)(h, train=train)
+        if s >= 2:
+            h = pool_d(s2d_ops.group_max3d(conv2))
+        else:
+            h = nn.max_pool(conv2, (2, 2, 2), (2, 2, 2))
+        conv3 = UnetConv3(f[2], dtype=dt)(h, train=train)
+        conv4 = UnetConv3(f[3], dtype=dt)(
+            nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)), train=train)
+        center = UnetConv3(f[4], dtype=dt)(
+            nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)), train=train)
 
         # channel dropout applies in-line: the dropped map feeds BOTH its DSV
         # head and the next up level (reference forward, :75-100)
         rngs = jax.random.split(self.make_rng("perturb"), 4) if train else None
-        up4 = UnetUp3CT(f[3])(conv4, center, train=train)
+        up4 = UnetUp3CT(f[3], dtype=dt)(conv4, center, train=train)
         if train:
             up4 = channel_dropout(rngs[0], up4, 0.5)
-        up3 = UnetUp3CT(f[2])(conv3, up4, train=train)
+        up3 = UnetUp3CT(f[2], dtype=dt)(conv3, up4, train=train)
         if train:
             up3 = channel_dropout(rngs[1], up3, 0.3)
-        up2 = UnetUp3CT(f[1])(conv2, up3, train=train)
+        up2 = UnetUp3CT(f[1], s2d=s >= 2, dtype=dt)(conv2, up3, train=train)
         if train:
-            up2 = channel_dropout(rngs[2], up2, 0.2)
-        up1 = UnetUp3CT(f[0])(conv1, up2, train=train)
+            up2 = (channel_dropout_s2d if s >= 2 else channel_dropout)(
+                rngs[2], up2, 0.2)
+        up1 = UnetUp3CT(f[0], s2d=s >= 1, s2d_below=s >= 2,
+                        dtype=dt)(conv1, up2, train=train)
         if train:
-            up1 = channel_dropout(rngs[3], up1, 0.1)
+            up1 = (channel_dropout_s2d if s >= 1 else channel_dropout)(
+                rngs[3], up1, 0.1)
 
+        if s >= 2:
+            up2_n = s2d_ops.depth_to_space3d(up2)
+        else:
+            up2_n = up2
+        up1_n = s2d_ops.depth_to_space3d(up1) if s >= 1 else up1
         dsv4 = UnetDsv3(self.num_classes, 8)(up4)
         dsv3 = UnetDsv3(self.num_classes, 4)(up3)
-        dsv2 = UnetDsv3(self.num_classes, 2)(up2)
-        dsv1 = nn.Conv(self.num_classes, (1, 1, 1))(up1)
-        return dsv1, dsv2, dsv3, dsv4
+        dsv2 = UnetDsv3(self.num_classes, 2)(up2_n)
+        dsv1 = nn.Conv(self.num_classes, (1, 1, 1))(up1_n)
+        return (dsv1.astype(jnp.float32), dsv2.astype(jnp.float32),
+                dsv3.astype(jnp.float32), dsv4.astype(jnp.float32))

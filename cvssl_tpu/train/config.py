@@ -108,7 +108,7 @@ class TrainConfig:
             # at embed 96), so dtype is NOT auto-applied here; opt in via
             # vit_kwargs={"dtype": ...} if profiling says otherwise.
             return dict(self.vit_kwargs or {})
-        if net_type not in ("unet", "unet_3D"):
+        if net_type not in ("unet", "unet_3D", "unet_3D_dv_semi"):
             return {}
         import jax
         import jax.numpy as jnp

@@ -80,3 +80,24 @@ def test_unet3d_s2d_grads_flow():
         # (native model behaves the same); everything else must flow
         if "UnetConv3_4" not in k:
             assert n > 0, k
+
+
+@pytest.mark.parametrize("levels", [1, 2])
+def test_unet3d_deepsup_s2d_eval_parity(levels):
+    from cvssl_tpu.models.unet3d import UNet3DDeepSup
+    base = UNet3DDeepSup(in_chns=1, num_classes=2)
+    fast = UNet3DDeepSup(in_chns=1, num_classes=2, s2d_levels=levels)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(1, 16, 16, 16, 1)),
+        jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "perturb": jax.random.PRNGKey(1)}
+    variables = base.init(rngs, x, train=False)
+    v2 = fast.init(rngs, x, train=False)
+    assert jax.tree_util.tree_map(jnp.shape, variables) == \
+        jax.tree_util.tree_map(jnp.shape, v2)
+    ref = base.apply(variables, x, train=False)
+    got = fast.apply(variables, x, train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4)

@@ -176,17 +176,28 @@ class SlidingWindowEvaluator:
         padded = np.pad(image, pads, mode="constant", constant_values=0)
         return padded, pads
 
-    def predict_volume(self, image: np.ndarray) -> np.ndarray:
-        """Full sliding-window label map for one (x, y, z) volume."""
+    def predict_volume_async(self, image: np.ndarray):
+        """Dispatch the sliding window for one volume and return a
+        zero-arg collector. The device computes while the host fetches /
+        scores a previous volume (hd95's EDT is host-side and slow) —
+        call the collector later to materialize the label map."""
         padded, pads = self._pad(image)
         corners = compute_corners(padded.shape, self.patch_size,
                                   self.stride_xy, self.stride_z)
-        label_map = np.asarray(
-            self._acc(jnp.asarray(padded, jnp.float32),
-                      jnp.asarray(corners))).astype(np.int32)
-        sl = tuple(slice(p0, label_map.shape[i] - p1)
-                   for i, (p0, p1) in enumerate(pads))
-        return label_map[sl]
+        fut = self._acc(jnp.asarray(padded, jnp.float32),
+                        jnp.asarray(corners))
+
+        def collect() -> np.ndarray:
+            label_map = np.asarray(fut).astype(np.int32)
+            sl = tuple(slice(p0, label_map.shape[i] - p1)
+                       for i, (p0, p1) in enumerate(pads))
+            return label_map[sl]
+
+        return collect
+
+    def predict_volume(self, image: np.ndarray) -> np.ndarray:
+        """Full sliding-window label map for one (x, y, z) volume."""
+        return self.predict_volume_async(image)()
 
 
 def tiled_predict_2d(predict_fn, image: np.ndarray, patch_size,
@@ -217,14 +228,23 @@ def test_all_case(predict_fn, dataset, num_classes: int = 2,
     ev = SlidingWindowEvaluator(predict_fn, patch_size, num_classes,
                                 stride_xy, stride_z)
     total = np.zeros((num_classes - 1, 2))
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        pred = ev.predict_volume(sample["image"])
-        label = np.asarray(sample["label"])
-        for c in range(1, num_classes):
-            p, g = pred == c, label == c
-            if p.sum() > 0 and g.sum() > 0:
-                total[c - 1] += [M.dc(p, g), M.hd95(p, g)]
+    # software pipeline: volume i+1 computes on device while volume i is
+    # fetched and scored on the host (hd95's EDT is the slow host part)
+    pending = None
+    for i in range(len(dataset) + 1):
+        nxt = None
+        if i < len(dataset):
+            sample = dataset[i]
+            nxt = (ev.predict_volume_async(sample["image"]),
+                   np.asarray(sample["label"]))
+        if pending is not None:
+            collect, label = pending
+            pred = collect()
+            for c in range(1, num_classes):
+                p, g = pred == c, label == c
+                if p.sum() > 0 and g.sum() > 0:
+                    total[c - 1] += [M.dc(p, g), M.hd95(p, g)]
+        pending = nxt
     return total / len(dataset)
 
 
@@ -239,27 +259,36 @@ def test_all_case_full_metrics(predict_fn, dataset, num_classes: int = 2,
     ev = SlidingWindowEvaluator(predict_fn, patch_size, num_classes,
                                 stride_xy, stride_z)
     rows = []
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        pred = ev.predict_volume(sample["image"])
-        label = np.asarray(sample["label"])
-        case_metrics = []
-        for c in range(1, num_classes):
-            p, g = pred == c, label == c
-            if p.sum() > 0 and g.sum() > 0:
-                case_metrics.append(M.calculate_metric_percase_3d(p, g))
-            else:
-                case_metrics.append((0.0, 0.0, 0.0, 0.0))
-        rows.append(np.asarray(case_metrics))
-        if export_dir is not None:
-            from cvssl_tpu.utils.nifti import save_nifti
-            os.makedirs(export_dir, exist_ok=True)
-            ids = sample.get("case", i)
-            save_nifti(os.path.join(export_dir, f"{ids}_pred.nii.gz"),
-                       pred.astype(np.uint8))
-            save_nifti(os.path.join(export_dir, f"{ids}_img.nii.gz"),
-                       np.asarray(sample["image"], np.float32))
-            save_nifti(os.path.join(export_dir, f"{ids}_lab.nii.gz"),
-                       label.astype(np.uint8))
+    # pipelined like test_all_case: device computes volume i+1 while the
+    # host scores/exports volume i
+    pending = None
+    for i in range(len(dataset) + 1):
+        nxt = None
+        if i < len(dataset):
+            sample = dataset[i]
+            nxt = (ev.predict_volume_async(sample["image"]), sample, i)
+        if pending is not None:
+            collect, sample_p, idx = pending
+            pred = collect()
+            label = np.asarray(sample_p["label"])
+            case_metrics = []
+            for c in range(1, num_classes):
+                p, g = pred == c, label == c
+                if p.sum() > 0 and g.sum() > 0:
+                    case_metrics.append(M.calculate_metric_percase_3d(p, g))
+                else:
+                    case_metrics.append((0.0, 0.0, 0.0, 0.0))
+            rows.append(np.asarray(case_metrics))
+            if export_dir is not None:
+                from cvssl_tpu.utils.nifti import save_nifti
+                os.makedirs(export_dir, exist_ok=True)
+                ids = sample_p.get("case", idx)
+                save_nifti(os.path.join(export_dir, f"{ids}_pred.nii.gz"),
+                           pred.astype(np.uint8))
+                save_nifti(os.path.join(export_dir, f"{ids}_img.nii.gz"),
+                           np.asarray(sample_p["image"], np.float32))
+                save_nifti(os.path.join(export_dir, f"{ids}_lab.nii.gz"),
+                           label.astype(np.uint8))
+        pending = nxt
     rows = np.asarray(rows)  # (cases, classes-1, 4)
     return rows, rows.mean(axis=0)

@@ -57,14 +57,30 @@ def _surface_distances(result: np.ndarray, reference: np.ndarray,
                        voxelspacing=None, connectivity: int = 1) -> np.ndarray:
     """Distances from result's surface voxels to reference's surface (medpy
     ``__surface_distances`` algorithm: border = mask minus its erosion, then
-    EDT of the complement of the reference border)."""
+    EDT of the complement of the reference border).
+
+    Exact speedup over medpy: both computations are cropped to the union
+    bounding box of the two masks (+1 voxel margin). Every surface voxel of
+    either mask lies inside the box, and the EDT value at any in-box point
+    equals its distance to the nearest reference-border voxel, which is
+    also in-box — so the returned distance multiset is identical while the
+    EDT runs on a fraction of the volume."""
     result = np.atleast_1d(result.astype(bool))
     reference = np.atleast_1d(reference.astype(bool))
-    footprint = ndimage.generate_binary_structure(result.ndim, connectivity)
     if not np.any(result):
         raise RuntimeError("result is empty — no surface distances defined")
     if not np.any(reference):
         raise RuntimeError("reference is empty — no surface distances defined")
+
+    union = result | reference
+    slices = ndimage.find_objects(union.astype(np.uint8), max_label=1)[0]
+    slices = tuple(
+        slice(max(s.start - 1, 0), min(s.stop + 1, dim))
+        for s, dim in zip(slices, union.shape))
+    result = result[slices]
+    reference = reference[slices]
+
+    footprint = ndimage.generate_binary_structure(result.ndim, connectivity)
     result_border = result ^ ndimage.binary_erosion(result, structure=footprint,
                                                     iterations=1)
     reference_border = reference ^ ndimage.binary_erosion(

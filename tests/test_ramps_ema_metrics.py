@@ -162,3 +162,40 @@ class TestSDF:
         mask = np.zeros((2, 8, 8), np.uint8)
         out = sdf.compute_sdf(mask, mask.shape)
         assert np.all(out == 0)
+
+
+def test_surface_distance_bbox_crop_is_exact():
+    """The union-bbox crop inside _surface_distances must not change the
+    distance multiset (hd95/asd identical to the uncropped algorithm)."""
+    import numpy as np
+    from scipy import ndimage
+    from cvssl_tpu.ops import metrics as M
+
+    def uncropped(result, reference, connectivity=1):
+        fp = ndimage.generate_binary_structure(result.ndim, connectivity)
+        rb = result ^ ndimage.binary_erosion(result, fp, 1)
+        gb = reference ^ ndimage.binary_erosion(reference, fp, 1)
+        dt = ndimage.distance_transform_edt(~gb)
+        return dt[rb]
+
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        a = np.zeros((40, 44, 38), bool)
+        b = np.zeros((40, 44, 38), bool)
+        ca = rng.integers(8, 30, 3)
+        cb = ca + rng.integers(-4, 5, 3)
+        zz, yy, xx = np.meshgrid(*[np.arange(s) for s in a.shape],
+                                 indexing="ij")
+        a |= ((zz - ca[0]) ** 2 + (yy - ca[1]) ** 2 +
+              (xx - ca[2]) ** 2) < 36
+        b |= ((zz - cb[0]) ** 2 + (yy - cb[1]) ** 2 +
+              (xx - cb[2]) ** 2) < 49
+        got = np.sort(M._surface_distances(a, b))
+        want = np.sort(uncropped(a, b))
+        np.testing.assert_allclose(got, want)
+        # mask touching the volume edge (margin clamps) stays exact
+        a2 = a.copy()
+        a2[:2] = True
+        got = np.sort(M._surface_distances(a2, b))
+        want = np.sort(uncropped(a2, b))
+        np.testing.assert_allclose(got, want)

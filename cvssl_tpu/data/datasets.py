@@ -91,7 +91,10 @@ class VolumeDataset:
                  transform: Optional[Callable] = None):
         self.base_dir = base_dir
         self.transform = transform
-        list_file = "train.txt" if split == "train" else "val.txt"
+        # train.txt / val.txt / test.txt — the test split is what the
+        # reference's test_3D.py:33 evaluates (test_list="test.txt").
+        list_file = {"train": "train.txt", "val": "val.txt",
+                     "test": "test.txt"}[split]
         with open(os.path.join(base_dir, list_file)) as f:
             self.image_list = [ln.strip().split(",")[0] for ln in f
                                if ln.strip()]

@@ -63,20 +63,26 @@ def make_synthetic_acdc(root: str, num_cases: int = 8,
 
 
 def make_synthetic_brats(root: str, num_train: int = 4, num_val: int = 2,
-                         size: int = 32, seed: int = 0) -> str:
-    """BraTS-style tree: data/{name}.h5 volumes, train.txt / val.txt."""
+                         size: int = 32, seed: int = 0, num_test: int = 0
+                         ) -> str:
+    """BraTS-style tree: data/{name}.h5 volumes, train/val/test.txt lists
+    (test.txt mirrors the real tree's held-out split, test_3D.py:33; when
+    num_test == 0 it aliases the val cases so test CLIs stay runnable)."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    train_lines, val_lines = [], []
-    for i in range(num_train + num_val):
+    lines = {"train": [], "val": [], "test": []}
+    for i in range(num_train + num_val + num_test):
         name = f"case_{i:03d}"
         img, lab = _blob_image(rng, (size, size, size), 2)
         with h5py.File(os.path.join(root, "data", f"{name}.h5"), "w") as f:
             f.create_dataset("image", data=img)
             f.create_dataset("label", data=lab)
-        (train_lines if i < num_train else val_lines).append(name)
-    with open(os.path.join(root, "train.txt"), "w") as f:
-        f.write("\n".join(train_lines) + "\n")
-    with open(os.path.join(root, "val.txt"), "w") as f:
-        f.write("\n".join(val_lines) + "\n")
+        split = ("train" if i < num_train
+                 else "val" if i < num_train + num_val else "test")
+        lines[split].append(name)
+    if not lines["test"]:
+        lines["test"] = list(lines["val"])
+    for split, names in lines.items():
+        with open(os.path.join(root, f"{split}.txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
     return root

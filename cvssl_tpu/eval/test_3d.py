@@ -24,6 +24,10 @@ def build_parser():
     p.add_argument("--stride_xy", type=int, default=64)
     p.add_argument("--stride_z", type=int, default=64)
     p.add_argument("--snapshot_root", type=str, default="../model")
+    # reference test_3D.py:33 hardcodes test_list="test.txt"; --split lets
+    # environments without a test list fall back to the val split.
+    p.add_argument("--split", type=str, default="test",
+                   choices=["test", "val"])
     return p
 
 
@@ -63,7 +67,7 @@ def inference(flags, predictor=None):
     snapshot = os.path.join(flags.snapshot_root,
                             f"{flags.exp}_{flags.labeled_num}_labeled",
                             flags.model)
-    test_ds = VolumeDataset(flags.root_path, "val")
+    test_ds = VolumeDataset(flags.root_path, getattr(flags, "split", "test"))
     predict = predictor or load_predictor(flags)
     rows, mean = test_all_case_full_metrics(
         predict, test_ds, flags.num_classes, tuple(flags.patch_size),

@@ -86,15 +86,26 @@ def mirror_tta(predict_fn: Callable, mirror_axes: Sequence[int]):
 
 def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
                       batch: int, weight_map: Optional[np.ndarray] = None):
-    """Build a jitted (volume, corners) -> (score, cnt) accumulator.
+    """Build a jitted (volume, corners, place, target) -> label accumulator.
     predict_fn: (B, *patch, 1) -> (B, *patch, C) softmax probabilities.
-    weight_map: optional (pd, ph, pw) importance weights (Gaussian mode)."""
+    weight_map: optional (pd, ph, pw) importance weights (Gaussian mode).
+
+    The caller uploads a lightly bucketed RAW volume; padding to the
+    reference grid shape (``target``, static) happens ON DEVICE by placing
+    the volume into a zeroed bucket at ``place`` (dynamic — placement
+    doesn't recompile). The result is cropped back to the input shape on
+    device and, for binary maps, bit-packed — through a ~25 MB/s D2H
+    tunnel the fetch is the dominant eval cost, so bytes matter 8x."""
     pd, ph, pw = patch_size
     wmap = None if weight_map is None else jnp.asarray(weight_map)[..., None]
 
-    @jax.jit
-    def run(volume, corners):
-        d, h, w = volume.shape
+    @functools.partial(jax.jit, static_argnames=("target",))
+    def run(vol_in, corners, place, target):
+        d, h, w = target
+        in_shape = vol_in.shape  # static under trace
+        volume = jax.lax.dynamic_update_slice(
+            jnp.zeros((d, h, w), vol_in.dtype), vol_in,
+            (place[0], place[1], place[2]))
         score = jnp.zeros((d, h, w, num_classes), jnp.float32)
         cnt = jnp.zeros((d, h, w, 1), jnp.float32)
 
@@ -137,7 +148,21 @@ def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
                                        corners_p.reshape(n_batches, batch, 3))
         # finalize in the same program: eager div/argmax/cast each cost a
         # ~30ms tunnel round-trip, and uint8 keeps the D2H fetch 4x smaller
-        return jnp.argmax(score / cnt, axis=-1).astype(jnp.uint8)
+        label = jnp.argmax(score / cnt, axis=-1).astype(jnp.uint8)
+        # crop back to the uploaded bucket (device-side: D2H bytes, not
+        # the full reference-padded grid)
+        out = jax.lax.dynamic_slice(
+            label, (place[0], place[1], place[2]), in_shape)
+        if num_classes <= 2:
+            # binary map: pack 8 voxels/byte (little-endian bit order)
+            flat = out.reshape(-1)
+            rem = (-flat.shape[0]) % 8
+            if rem:
+                flat = jnp.pad(flat, (0, rem))
+            bits = flat.reshape(-1, 8).astype(jnp.int32)
+            weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+            out = (bits @ weights).astype(jnp.uint8)
+        return out
 
     return run
 
@@ -161,36 +186,63 @@ class SlidingWindowEvaluator:
         self._acc = _make_accumulator(predict_fn, self.patch_size,
                                       num_classes, patch_batch, wmap)
 
-    def _pad(self, image: np.ndarray):
-        """Reference symmetric pad-to-patch (``val_3D.py:17-39``), then bucket
-        every dim up to a stride multiple to bound recompiles."""
+    def _plan(self, shape):
+        """Padding plan for one raw volume shape.
+
+        The REFERENCE grid (``val_3D.py:17-39``): symmetric pad-to-patch,
+        target = p + ceil(max(s-p,0)/stride)*stride, raw at offset
+        total//2. Here the full pad happens ON DEVICE; the host only pads
+        the raw volume up to a 16-voxel bucket (bounding jit recompiles to
+        a few (bucket, target) keys) and tells the device where to place
+        it so the raw data still lands at the reference offset. The bucket
+        pad per axis is capped at the reference total pad so the placed
+        bucket always fits inside the target grid.
+
+        Returns (target, bucket_pads (lo16, hi16) per axis, place (3,),
+        crop lo16 per axis) — all host ints."""
         p = self.patch_size
         strides = (self.stride_xy, self.stride_xy, self.stride_z)
-        pads = []
+        target, bpads, place = [], [], []
         for i in range(3):
-            target = max(image.shape[i], p[i])
-            target = p[i] + math.ceil(max(target - p[i], 0) / strides[i]) * \
-                strides[i]
-            total = target - image.shape[i]
-            pads.append((total // 2, total - total // 2))
-        padded = np.pad(image, pads, mode="constant", constant_values=0)
-        return padded, pads
+            s = shape[i]
+            t = p[i] + math.ceil(max(max(s, p[i]) - p[i], 0) /
+                                 strides[i]) * strides[i]
+            total = t - s
+            o = total // 2                      # reference raw offset
+            b = min((-s) % 16, total)           # bucket pad, capped
+            lo = min(o, b)                      # split before/after raw
+            target.append(t)
+            bpads.append((lo, b - lo))
+            place.append(o - lo)                # bucket start within target
+        return tuple(target), bpads, np.asarray(place, np.int32)
 
     def predict_volume_async(self, image: np.ndarray):
         """Dispatch the sliding window for one volume and return a
         zero-arg collector. The device computes while the host fetches /
         scores a previous volume (hd95's EDT is host-side and slow) —
-        call the collector later to materialize the label map."""
-        padded, pads = self._pad(image)
-        corners = compute_corners(padded.shape, self.patch_size,
+        call the collector later to materialize the label map.
+
+        Host->device carries the (bucketed) RAW volume; padding, cropping
+        and (binary) bit-packing run on device, so both tunnel directions
+        move close to the minimum number of bytes."""
+        target, bpads, place = self._plan(image.shape)
+        bucket = np.pad(image, bpads, mode="constant", constant_values=0)
+        corners = compute_corners(target, self.patch_size,
                                   self.stride_xy, self.stride_z)
-        fut = self._acc(jnp.asarray(padded, jnp.float32),
-                        jnp.asarray(corners))
+        fut = self._acc(jnp.asarray(bucket, jnp.float32),
+                        jnp.asarray(corners), jnp.asarray(place),
+                        target=target)
+        bshape = bucket.shape
+        packed = self.num_classes <= 2
 
         def collect() -> np.ndarray:
-            label_map = np.asarray(fut).astype(np.int32)
-            sl = tuple(slice(p0, label_map.shape[i] - p1)
-                       for i, (p0, p1) in enumerate(pads))
+            raw = np.asarray(fut)
+            if packed:
+                n = int(np.prod(bshape))
+                raw = np.unpackbits(raw, bitorder="little")[:n]
+            label_map = raw.reshape(bshape).astype(np.int32)
+            sl = tuple(slice(lo, bshape[i] - hi)
+                       for i, (lo, hi) in enumerate(bpads))
             return label_map[sl]
 
         return collect

@@ -148,7 +148,7 @@ class ConvBlock(nn.Module):
         if self.s2d_pair:
             b, hh, ww, _ = x.shape
             true_count = b * 4 * hh * ww  # per-channel, excluding overhang
-            x = s2d_ops.conv3x3_to_shifted(x, k0, b0, dtype=self.dtype)
+            x = s2d_ops.pair_to_shifted(x, k0, b0, dtype=self.dtype)
             x = S2DBatchNorm(co, use_running_average=not train,
                              dtype=self.dtype, true_count=true_count,
                              name="BatchNorm_0")(x)
@@ -158,7 +158,7 @@ class ConvBlock(nn.Module):
             # BN's bias/relu move the overhang off zero; restore the SAME-
             # padding semantics before the shifted->aligned conv
             x = s2d_ops.apply_shifted_mask(x)
-            x = s2d_ops.conv3x3_from_shifted(x, k1, b1, dtype=self.dtype)
+            x = s2d_ops.pair_from_shifted(x, k1, b1, dtype=self.dtype)
             x = S2DBatchNorm(co, use_running_average=not train,
                              dtype=self.dtype, name="BatchNorm_1")(x)
             return nn.leaky_relu(x, negative_slope=0.01)

@@ -121,6 +121,19 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     return -jnp.mean(jnp.sum(logp * lab, axis=axis))
 
 
+def ce_dice(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
+            fused: bool = False):
+    """(cross_entropy, dice) pair — the supervised-loss ingredients every
+    reference trainer computes (``train_fully_supervised_2D.py:112-114``).
+    ``fused=True`` (cfg.fused_loss) takes the Pallas single-HBM-sweep kernel
+    on TPU (class axis must be last); identical numerics either way."""
+    if fused and logits.ndim >= 2:
+        from cvssl_tpu.ops.pallas_kernels import fused_ce_dice
+        return fused_ce_dice(logits, labels, num_classes)
+    return (cross_entropy(logits, labels),
+            dice_loss(logits, labels, num_classes, softmax=True))
+
+
 def dice_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
                  axis: int = -1) -> jnp.ndarray:
     """The canonical supervised loss ``0.5 * (ce + dice(softmax))`` used by

@@ -62,10 +62,10 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "interpret"))
-def fused_dice_ce_loss_tpu(logits: jnp.ndarray, labels: jnp.ndarray,
-                           num_classes: int,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Pallas path. logits (..., C) float; labels (...) int."""
+def fused_ce_dice_tpu(logits: jnp.ndarray, labels: jnp.ndarray,
+                      num_classes: int, interpret: bool = False):
+    """Pallas path. logits (..., C) float; labels (...) int.
+    Returns (ce_mean, dice_mean) — one HBM sweep for both reductions."""
     c = logits.shape[-1]
     n = int(logits.size // c)
     # class-major layout: (C, N) with spatial sites on the lane axis
@@ -114,22 +114,24 @@ def fused_dice_ce_loss_tpu(logits: jnp.ndarray, labels: jnp.ndarray,
     psq_corr = psq[:, 0] - pad_sites * (1.0 / c) ** 2
     dice = 1.0 - (2.0 * inter[:, 0] + smooth) / (psq_corr + lab[:, 0] + smooth)
     dice_mean = jnp.sum(dice) / c
-    return 0.5 * (ce_mean + dice_mean)
+    return ce_mean, dice_mean
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _fused_dice_ce(logits, labels, num_classes):
-    return fused_dice_ce_loss_tpu(logits, labels, num_classes)
+def _fused_ce_dice(logits, labels, num_classes):
+    return fused_ce_dice_tpu(logits, labels, num_classes)
 
 
 def _fused_fwd(logits, labels, num_classes):
     # forward via the Pallas kernel; residuals for the closed-form backward
-    loss = fused_dice_ce_loss_tpu(logits, labels, num_classes)
-    return loss, (logits, labels)
+    out = fused_ce_dice_tpu(logits, labels, num_classes)
+    return out, (logits, labels)
 
 
 def _fused_bwd(num_classes, residuals, g):
-    """Closed-form gradient of 0.5*(CE_mean + Dice_mean) w.r.t. logits.
+    """Closed-form gradient of (CE_mean, Dice_mean) w.r.t. logits, combined
+    with the incoming cotangents g = (g_ce, g_dice) — so callers may weight
+    the two terms however they like (0.5/0.5 is the canonical sup loss).
 
     CE part: (softmax - onehot) / n.
     Dice part per class c (I = sum p*y, P = sum p^2, L = sum y, s = 1e-5):
@@ -137,6 +139,7 @@ def _fused_bwd(num_classes, residuals, g):
       softmax Jacobian p_k (g_k - sum_c g_c p_c), averaged over classes.
     """
     logits, labels = residuals
+    g_ce, g_dice = g
     c = logits.shape[-1]
     n = logits.size // c
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -154,15 +157,22 @@ def _fused_bwd(num_classes, residuals, g):
     # softmax jacobian
     dz_dice = probs * (gp - jnp.sum(gp * probs, axis=-1, keepdims=True))
     dz_ce = (probs - onehot) / n
-    grad = 0.5 * (dz_ce + dz_dice) * g
+    grad = g_ce * dz_ce + g_dice * dz_dice
     return grad.astype(logits.dtype), None
 
 
-_fused_dice_ce.defvjp(_fused_fwd, _fused_bwd)
+_fused_ce_dice.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_ce_dice(logits, labels, num_classes):
+    """(ce, dice) pair — Pallas with custom VJP on TPU, jnp elsewhere."""
+    if jax.default_backend() == "tpu":
+        return _fused_ce_dice(logits, labels, num_classes)
+    return (_losses.cross_entropy(logits, labels),
+            _losses.dice_loss(logits, labels, num_classes, softmax=True))
 
 
 def fused_dice_ce_loss(logits, labels, num_classes):
-    """Dispatch: Pallas (with custom VJP) on TPU, reference jnp elsewhere."""
-    if jax.default_backend() == "tpu":
-        return _fused_dice_ce(logits, labels, num_classes)
-    return _losses.dice_ce_loss(logits, labels, num_classes)
+    """0.5*(ce+dice) via the fused pair (back-compat entry point)."""
+    ce, dice = fused_ce_dice(logits, labels, num_classes)
+    return 0.5 * (ce + dice)

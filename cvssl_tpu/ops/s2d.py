@@ -230,6 +230,143 @@ def conv3x3_from_shifted(x: jnp.ndarray, k: jnp.ndarray, bias=None,
 
 
 # ---------------------------------------------------------------------------
+# Custom-VJP conv pair: keep the 2-tap forward AND the 2-tap dgrad, but
+# compute the WEIGHT gradient at dense aligned-s2d 3x3 shapes. XLA's wgrad
+# for the k2 kernels runs at the shifted grid's ODD spatial extents
+# (HH+1 = 129 at level 0), which tile poorly onto the MXU; the dense wgrad
+# runs at even 128^2/4C shapes (the 15-26 TF/s class, module docstring).
+# The math: both convs ARE the original 3x3 conv re-indexed, so
+# dL/dk = selector-contraction of the ALIGNED-domain wgrad, computed from
+# the aligned forms of the input and the output cotangent.
+# ---------------------------------------------------------------------------
+
+
+def shifted_to_space(y: jnp.ndarray) -> jnp.ndarray:
+    """Shifted-grid s2d tensor (B, hh+1, ww+1, 4C) -> ORIGINAL layout
+    (B, 2hh, 2ww, C). Cell j, sub-pos a' holds original row 2j - 1 + a';
+    the overhang rows (-1 and 2hh) are dropped."""
+    b, h1, w1, gc = y.shape
+    c = gc // 4
+    yg = y.reshape(b, h1, w1, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    full = yg.reshape(b, 2 * h1, 2 * w1, c)  # row index = r + 1
+    return full[:, 1:2 * h1 - 1, 1:2 * w1 - 1, :]
+
+
+def _dense_wgrad(x_al: jnp.ndarray, g_al: jnp.ndarray, c: int, co: int):
+    """dL/dk (3, 3, c, co) from ALIGNED s2d input x_al (B, HH, WW, 4c) and
+    aligned output cotangent g_al (B, HH, WW, 4co): XLA wgrad of the dense
+    aligned conv, then the selector contraction (adjoint of
+    :func:`s2d_kernel3x3`). f32 accumulation."""
+    def aligned_conv(big):
+        return jax.lax.conv_general_dilated(
+            x_al, big, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # linear_transpose: conv is linear in the kernel, and unlike jax.vjp
+    # this does NOT execute a dummy forward conv to get the primal
+    big_struct = jax.ShapeDtypeStruct((3, 3, 4 * c, 4 * co), x_al.dtype)
+    (dbig,) = jax.linear_transpose(aligned_conv, big_struct)(
+        g_al.astype(x_al.dtype))
+    dbig = dbig.astype(jnp.float32).reshape(3, 3, 2, 2, c, 2, 2, co)
+    sel = jnp.asarray(_selector(), jnp.float32)
+    return jnp.einsum("ijABabhw,ijABcabd->hwcd", sel, dbig)
+
+
+def _k_adjoint(k: jnp.ndarray) -> jnp.ndarray:
+    """Spatially flipped, in/out-transposed kernel: the original conv's
+    adjoint. (3, 3, C, Co) -> (3, 3, Co, C)."""
+    return jnp.flip(k, (0, 1)).swapaxes(2, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_to_shifted_cv(x, k, bias, dtype):
+    return conv3x3_to_shifted(x, k, bias, dtype=dtype)
+
+
+def _to_shifted_fwd(x, k, bias, dtype):
+    y = conv3x3_to_shifted(x, k, bias, dtype=dtype)
+    return y, (x, k)
+
+
+def _to_shifted_bwd(dtype, res, g):
+    x, k = res
+    g = apply_shifted_mask(g)
+    # dgrad stays 2-tap: adjoint of the original SAME conv maps the shifted
+    # cotangent back to the aligned grid with the flipped/transposed kernel
+    dx = conv3x3_from_shifted(g, _k_adjoint(k), dtype=dtype).astype(x.dtype)
+    g_al = space_to_depth(shifted_to_space(g))
+    c, co = k.shape[2], k.shape[3]
+    dk = _dense_wgrad(x.astype(dtype) if dtype else x,
+                      g_al, c, co).astype(k.dtype)
+    gg = g.reshape(g.shape[:-1] + (4, co))
+    dbias = jnp.sum(gg.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(k.dtype)
+    return dx, dk, dbias
+
+
+conv3x3_to_shifted_cv.defvjp(_to_shifted_fwd, _to_shifted_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_from_shifted_cv(x, k, bias, dtype):
+    return conv3x3_from_shifted(x, k, bias, dtype=dtype)
+
+
+def _from_shifted_fwd(x, k, bias, dtype):
+    y = conv3x3_from_shifted(x, k, bias, dtype=dtype)
+    return y, (x, k)
+
+
+def _from_shifted_bwd(dtype, res, g):
+    x, k = res
+    # adjoint of the VALID k2 conv: pad-(1,1) k2 conv of the aligned
+    # cotangent with the flipped/transposed kernel — NO overhang mask (the
+    # true adjoint); upstream apply_shifted_mask zeroes those slots anyway.
+    big_adj = k2_kernel(_k_adjoint(k))
+    gd = g.astype(dtype) if dtype else g
+    dx = jax.lax.conv_general_dilated(
+        gd, big_adj.astype(gd.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(x.dtype)
+    # wgrad at dense aligned shapes: x's original-space content is the
+    # shifted tensor regridded (overhang is zero by contract)
+    x_al = space_to_depth(shifted_to_space(x.astype(dtype) if dtype else x))
+    c, co = k.shape[2], k.shape[3]
+    dk = _dense_wgrad(x_al, g, c, co).astype(k.dtype)
+    gg = g.reshape(g.shape[:-1] + (4, co))
+    dbias = jnp.sum(gg.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(k.dtype)
+    return dx, dk, dbias
+
+
+conv3x3_from_shifted_cv.defvjp(_from_shifted_fwd, _from_shifted_bwd)
+
+
+# Trace-time switch (an XLA-program choice, not a semantics change: the
+# custom VJP is grad-identical to autodiff — tests/test_s2d.py). True =
+# wgrad at dense aligned shapes; False = XLA's odd-shape k2 wgrad.
+#
+# MEASURED on v5e (scripts/probe_wgrad.py, bench config 24x256^2 s2d2
+# bf16, interleaved within one process): k2 wgrad grad = 29.4 ms, dense
+# custom-vjp grad = 45.4 ms — the dense path's 2.25x wgrad FLOPs plus the
+# shifted->aligned regrid passes cost MORE than XLA's odd-shape k2 wgrad
+# saves. The full backward is already ~2.2x the forward (FLOP-
+# proportional), so the odd shapes were never the bottleneck. Kept as an
+# off-by-default option + the measurement that closes VERDICT item 2's
+# first suggestion.
+WGRAD_DENSE = False
+
+
+def pair_to_shifted(x, k, bias=None, dtype=None):
+    if WGRAD_DENSE and bias is not None:  # cv path needs a real dbias slot
+        return conv3x3_to_shifted_cv(x, k, bias, dtype)
+    return conv3x3_to_shifted(x, k, bias, dtype=dtype)
+
+
+def pair_from_shifted(x, k, bias=None, dtype=None):
+    if WGRAD_DENSE and bias is not None:
+        return conv3x3_from_shifted_cv(x, k, bias, dtype)
+    return conv3x3_from_shifted(x, k, bias, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
 # 3D (NDHWC): s2d on the H, W axes only — the depth axis keeps its native
 # extent (3D convs are lane-padding-bound exactly like 2D; measured on v5e:
 # the 48^3/C32 UNet3D conv runs 2.1x faster in this form, the full-res

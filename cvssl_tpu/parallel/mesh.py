@@ -7,8 +7,14 @@ the batch axis, parameters replicated. Collectives are implicit through
 GSPMD — BatchNorm statistics, loss reductions, and gradient averaging all
 become cross-device automatically once inputs carry shardings.
 
-Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
-the same code spans hosts (DCN axis folded into ``data``).
+Multi-host (pods): call ``distributed_init()`` (or pass ``--distributed`` to
+the train CLI) before building the engine, then ``make_mesh(dcn=n_hosts)``
+gives a 2-axis ('dcn', 'data') mesh — hosts on the outer DCN axis, each
+host's chips contiguous on the inner ICI axis, so the per-host gradient
+psum rides ICI and only the host-level reduction crosses DCN. Batch
+sharding folds both axes over the batch dim, so losses/gradients are
+bitwise-identical to the equivalent 1-D mesh (tested on the 8-CPU mesh,
+2x4 vs 8).
 """
 from __future__ import annotations
 
@@ -19,16 +25,45 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D mesh over the first ``num_devices`` devices (default: all)."""
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Opt-in multi-host bring-up — the TPU-native replacement for the
+    reference's dead NCCL/DDP helpers (``code/utils/util.py:236-240``).
+    With no arguments JAX auto-detects the TPU pod topology; arguments
+    cover CPU/GPU clusters. Safe to call once per process, before any
+    device access."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "data",
+              dcn: Optional[int] = None) -> Mesh:
+    """1-D ``data`` mesh over the first ``num_devices`` devices (default:
+    all), or — with ``dcn`` — a 2-axis ('dcn', ``axis``) mesh of shape
+    (dcn, n // dcn). Device order is preserved, so on a real pod each DCN
+    row is one host's ICI-connected chips."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if dcn:
+        n = len(devices)
+        if n % dcn:
+            raise ValueError(f"{n} devices do not fold into dcn={dcn}")
+        return Mesh(np.asarray(devices).reshape(dcn, n // dcn),
+                    ("dcn", axis))
     return Mesh(np.asarray(devices), (axis,))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim; replicate the rest."""
+    """Shard the leading (batch) dim; replicate the rest. On a 2-axis
+    ('dcn', data) mesh the batch folds over BOTH axes — same per-device
+    shard layout as the flat mesh, so step math is unchanged."""
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", axis)))
     return NamedSharding(mesh, P(axis))
 
 

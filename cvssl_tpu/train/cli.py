@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch_size2", type=int, nargs="+", default=None,
                    help="val patch size for the model2 slot (dual runs)")
     p.add_argument("--seed", type=int, default=d.seed)
-    p.add_argument("--deterministic", type=int, default=1)
+    p.add_argument("--deterministic", type=int, default=1,
+                   help="0 = draw the run seed from OS entropy (the TPU "
+                        "analog of the reference's cudnn-benchmark mode)")
     p.add_argument("--labeled_bs", type=int, default=d.labeled_bs)
     p.add_argument("--labeled_num", type=int, default=d.labeled_num)
     p.add_argument("--labeled_slices", type=int, default=None,
@@ -62,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "preunet/efficient_unet encoders")
     p.add_argument("--dim", type=int, default=2, choices=[2, 3])
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(auto-detects the TPU pod topology)")
+    p.add_argument("--dcn_slices", type=int, default=None,
+                   help="fold the device mesh as (dcn, data); default "
+                        "process_count when --distributed")
     p.add_argument("--scan_steps", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default=None)
     return p
@@ -85,12 +93,19 @@ def config_from_args(args) -> TrainConfig:
         snapshot_root=args.snapshot_root, val_every=args.val_every,
         ckpt_every=args.ckpt_every, num_workers=args.num_workers,
         dtype=args.dtype, s2d_levels=args.s2d_levels, dim=args.dim,
-        num_devices=args.num_devices, scan_steps=args.scan_steps,
+        num_devices=args.num_devices, dcn_slices=args.dcn_slices,
+        scan_steps=args.scan_steps,
         profile_dir=args.profile_dir, pretrained_ckpt=args.pretrained_ckpt)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.distributed:
+        import jax
+        from cvssl_tpu.parallel.mesh import distributed_init
+        distributed_init()
+        if args.dcn_slices is None:
+            args.dcn_slices = jax.process_count()
     cfg = config_from_args(args)
     from cvssl_tpu.train.engine import fit
     result = fit(cfg)

@@ -74,6 +74,8 @@ class TrainConfig:
     s2d_levels: Optional[int] = None
     dim: int = 2                       # 2 or 3 (dataset/model family)
     num_devices: Optional[int] = None  # mesh size (default: all)
+    dcn_slices: Optional[int] = None   # fold the mesh as (dcn, data) —
+                                       # outer axis = hosts/pod slices
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     @property

@@ -55,7 +55,7 @@ class Engine:
             avail = len(jax.devices())
             ndev = max(d for d in range(1, avail + 1)
                        if cfg.batch_size % d == 0)
-        self.mesh = pmesh.make_mesh(ndev)
+        self.mesh = pmesh.make_mesh(ndev, dcn=cfg.dcn_slices)
         self._txs = self.method.optimizers()
         self.tx = None  # built at init_state once params exist
         self._train_step = None
@@ -381,6 +381,14 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     snapshot = cfg.snapshot_path()
     logger = setup_logging(snapshot)
     writer = MetricsWriter(os.path.join(snapshot, "log"))
+    if not cfg.deterministic:
+        # reference --deterministic 0 trades reproducibility away (cudnn
+        # benchmark mode); on TPU compute is always bit-deterministic, so
+        # the honest analog is an entropy-drawn seed for RNG + sampling.
+        import dataclasses as _dc
+        entropy_seed = int.from_bytes(os.urandom(4), "little")
+        cfg = _dc.replace(cfg, seed=entropy_seed)
+        logger.info("--deterministic 0: entropy seed %d", entropy_seed)
     logger.info("config: %s", cfg)
 
     use_store = (cfg.device_data and
@@ -457,6 +465,16 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     t0 = time.time()
     images_seen = 0
 
+    # --profile_dir: capture a TB-viewable XLA trace of steps ~10-20
+    # (post-compile) — the working replacement for the reference's dormant
+    # CUDA timing helpers (networks_other.py:203-259).
+    profiler = None
+    if cfg.profile_dir:
+        from cvssl_tpu.utils.profiler import StepWindowProfiler
+        profiler = StepWindowProfiler(cfg.profile_dir)
+        logger.info("profiling steps %d-%d into %s", profiler.start,
+                    profiler.stop, cfg.profile_dir)
+
     has_cta_hooks = hasattr(engine.method, "on_epoch_start")
     iters_per_epoch = max(len(sampler), 1)
     if has_cta_hooks:
@@ -485,6 +503,9 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
             batch = next(stream)
         it += 1
         images_seen += cfg.batch_size
+
+        if profiler is not None:
+            profiler.tick(it, metrics)
 
         if has_cta_hooks:
             engine.method.on_step_metrics(metrics)
@@ -530,6 +551,8 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
 
     elapsed = time.time() - t0
     throughput = images_seen / elapsed if elapsed > 0 else 0.0
+    if profiler is not None:
+        profiler.close()
     writer.close()
     result = {"best_dice": best_dice, "iterations": it,
               "slices_per_sec": throughput, "state": state}

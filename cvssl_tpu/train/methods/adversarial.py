@@ -56,9 +56,7 @@ class AdversarialNetwork(Method):
         outputs = self.primary_logits(ctx.forward("model", batch["image"]))
         soft = jax.nn.softmax(outputs.astype(jnp.float32), axis=-1)
 
-        ce = losses.cross_entropy(outputs[:lb], label)
-        dice = losses.dice_loss(outputs[:lb], label, cfg.num_classes,
-                                softmax=True)
+        ce, dice = self.sup_ce_dice(outputs[:lb], label)
         sup = 0.5 * (ce + dice)
 
         # G phase: DAN in eval mode (reference DAN.eval(), :143); fool it into

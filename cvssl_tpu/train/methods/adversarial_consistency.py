@@ -39,9 +39,7 @@ class AdversarialConsistency(AdversarialNetwork):
             ctx.forward_teacher("model", u1)).astype(jnp.float32), axis=-1)
         pred_mixed = ema0 * (1.0 - mix) + ema1 * mix
 
-        ce = losses.cross_entropy(outputs[:lb], label)
-        dice = losses.dice_loss(outputs[:lb], label, cfg.num_classes,
-                                softmax=True)
+        ce, dice = self.sup_ce_dice(outputs[:lb], label)
         sup = 2.0 * dice + ce
 
         w = ctx.consistency_weight()

@@ -97,6 +97,14 @@ class Method:
         return tuples)."""
         return out[0] if isinstance(out, (tuple, list)) else out
 
+    def sup_ce_dice(self, logits, label):
+        """(ce, dice) supervised pair — every method's labeled-loss
+        ingredients. Routes through the Pallas fused single-HBM-sweep
+        kernel when ``cfg.fused_loss`` (TPU only; identical numerics)."""
+        from cvssl_tpu.ops import losses
+        return losses.ce_dice(logits, label, self.cfg.num_classes,
+                              fused=getattr(self.cfg, "fused_loss", False))
+
 
 def split_batch(cfg, batch):
     """(labeled image+label, unlabeled image) split used by every SSL method:

@@ -30,10 +30,7 @@ class CrossConsistencyTraining(Method):
 
         sup = 0.0
         for out in (main, aux1, aux2, aux3):
-            sup = sup + 0.5 * (
-                losses.cross_entropy(out[:lb], label) +
-                losses.dice_loss(out[:lb], label, cfg.num_classes,
-                                 softmax=True))
+            sup = sup + 0.5 * sum(self.sup_ce_dice(out[:lb], label))
 
         target = jax.lax.stop_gradient(soft_main[lb:])
         cons = 0.0

@@ -37,9 +37,7 @@ class DeepCoTraining(Method):
                 lambda x: jnp.rot90(x, 2, (1, 2)),
                 lambda x: jnp.rot90(x, 3, (1, 2))], outputs_soft[lb:])
 
-        ce = losses.cross_entropy(outputs[:lb], label)
-        dice = losses.dice_loss(outputs[:lb], label, cfg.num_classes,
-                                softmax=True)
+        ce, dice = self.sup_ce_dice(outputs[:lb], label)
         sup = 0.5 * (ce + dice)
 
         w = ctx.consistency_weight()

@@ -144,12 +144,8 @@ class ContrastiveConsistency(Method):
         w1 = cfg.consistency1 * ramps.sigmoid_rampup(t, cfg.consistency_rampup)
         w2 = cfg.consistency2 * ramps.sigmoid_rampup(t, cfg.consistency_rampup)
 
-        sup = (losses.cross_entropy(out_w1[:lb], label) +
-               losses.dice_loss(out_w1[:lb], label, cfg.num_classes,
-                                softmax=True) +
-               losses.cross_entropy(out_w2[:lb], label) +
-               losses.dice_loss(out_w2[:lb], label, cfg.num_classes,
-                                softmax=True))
+        sup = (sum(self.sup_ce_dice(out_w1[:lb], label)) +
+               sum(self.sup_ce_dice(out_w2[:lb], label)))
 
         unsup = (losses.cross_entropy(out_s1[lb:], pseudo[lb:]) +
                  losses.dice_loss(soft_s1[lb:], pseudo[lb:],

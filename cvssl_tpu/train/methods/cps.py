@@ -36,12 +36,8 @@ class CrossPseudoSupervision(Method):
         soft1 = jax.nn.softmax(out1.astype(jnp.float32), axis=-1)
         soft2 = jax.nn.softmax(out2.astype(jnp.float32), axis=-1)
 
-        loss1 = 0.5 * (losses.cross_entropy(out1[:lb], label) +
-                       losses.dice_loss(out1[:lb], label, cfg.num_classes,
-                                        softmax=True))
-        loss2 = 0.5 * (losses.cross_entropy(out2[:lb], label) +
-                       losses.dice_loss(out2[:lb], label, cfg.num_classes,
-                                        softmax=True))
+        loss1 = 0.5 * sum(self.sup_ce_dice(out1[:lb], label))
+        loss2 = 0.5 * sum(self.sup_ce_dice(out2[:lb], label))
 
         pseudo1 = jnp.argmax(jax.lax.stop_gradient(soft1[lb:]), axis=-1)
         pseudo2 = jnp.argmax(jax.lax.stop_gradient(soft2[lb:]), axis=-1)

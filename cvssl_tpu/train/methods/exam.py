@@ -31,9 +31,7 @@ class ExamStudentTeacher(AdversarialNetwork):
             ctx.forward_teacher("model", unlabeled + noise)
         ).astype(jnp.float32), axis=-1)
 
-        ce = losses.cross_entropy(outputs[:lb], label)
-        dice = losses.dice_loss(outputs[:lb], label, cfg.num_classes,
-                                softmax=True)
+        ce, dice = self.sup_ce_dice(outputs[:lb], label)
         sup = 2.0 * dice + ce
 
         w = ctx.consistency_weight()

@@ -59,9 +59,7 @@ class FixMatch(Method):
 
         w = ctx.consistency_weight()
         # supervised: ce + dice, NOT halved (reference :273-277)
-        sup = losses.cross_entropy(out_weak[:lb], label) + \
-            losses.dice_loss(out_weak[:lb], label, cfg.num_classes,
-                             softmax=True)
+        sup = sum(self.sup_ce_dice(out_weak[:lb], label))
 
         comp, as_weight = self.comp_loss(soft_weak, soft_strong)
         # unsup adds as_weight * comp AGAIN (comp already carries one factor)

@@ -39,9 +39,7 @@ class InterpolationConsistency(Method):
         pred_mixed = ema0 * (1.0 - mix) + ema1 * mix
 
         lb = cfg.labeled_bs
-        ce = losses.cross_entropy(outputs[:lb], label)
-        dice = losses.dice_loss(outputs[:lb], label, cfg.num_classes,
-                                softmax=True)
+        ce, dice = self.sup_ce_dice(outputs[:lb], label)
         sup = 0.5 * (ce + dice)
 
         w = ctx.consistency_weight()

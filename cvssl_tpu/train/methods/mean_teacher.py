@@ -31,9 +31,7 @@ class MeanTeacher(Method):
         ema_logits = self.primary_logits(
             ctx.forward_teacher("model", ema_inputs))
 
-        ce = losses.cross_entropy(outputs[:cfg.labeled_bs], label)
-        dice = losses.dice_loss(outputs[:cfg.labeled_bs], label,
-                                cfg.num_classes, softmax=True)
+        ce, dice = self.sup_ce_dice(outputs[:cfg.labeled_bs], label)
         sup = 0.5 * (ce + dice)
 
         cons = jnp.mean(losses.softmax_mse_loss(outputs[cfg.labeled_bs:],

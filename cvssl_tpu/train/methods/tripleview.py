@@ -30,10 +30,7 @@ class TripleView(Method):
             soft = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
             outs.append(out)
             softs.append(soft)
-            sups.append(0.5 * (
-                losses.cross_entropy(out[:lb], label) +
-                losses.dice_loss(out[:lb], label, cfg.num_classes,
-                                 softmax=True)))
+            sups.append(0.5 * sum(self.sup_ce_dice(out[:lb], label)))
             pseudos.append(jnp.argmax(jax.lax.stop_gradient(soft[lb:]),
                                       axis=-1))
 

@@ -44,9 +44,7 @@ class UncertaintyAwareMeanTeacher(Method):
         uncertainty = -jnp.sum(preds * jnp.log(preds + 1e-6), axis=-1,
                                keepdims=True)
 
-        ce = losses.cross_entropy(outputs[:cfg.labeled_bs], label)
-        dice = losses.dice_loss(outputs[:cfg.labeled_bs], label,
-                                cfg.num_classes, softmax=True)
+        ce, dice = self.sup_ce_dice(outputs[:cfg.labeled_bs], label)
         sup = 0.5 * (ce + dice)
 
         w = ctx.consistency_weight()

@@ -30,10 +30,7 @@ class URPC(Method):
 
         sup = 0.0
         for o in outs:
-            sup = sup + 0.5 * (
-                losses.cross_entropy(o[:lb], label) +
-                losses.dice_loss(o[:lb], label, cfg.num_classes,
-                                 softmax=True))
+            sup = sup + 0.5 * sum(self.sup_ce_dice(o[:lb], label))
         sup = sup / len(outs)
 
         avg = jax.lax.stop_gradient(

@@ -65,8 +65,12 @@ def restore_latest(snapshot_path: str, target,
             best, best_it = p, int(m.group(1))
     if best is None:
         return None, 0, {}
-    payload = load_weights(best, {"state": target,
-                                  "meta": meta_target or {}})
+    try:
+        payload = load_weights(best, {"state": target,
+                                      "meta": meta_target or {}})
+    except (ValueError, KeyError):
+        # legacy layout (pre-meta): the file holds the raw state bytes
+        return load_weights(best, target), best_it, {}
     return payload["state"], best_it, payload["meta"]
 
 

@@ -26,6 +26,11 @@ _DTYPES = {
     np.dtype(np.float64): (64, 64),
 }
 _CODES = {v[0]: k for k, v in _DTYPES.items()}
+# read-only extras (compliant third-party writers; we never write these)
+_READ_CODES = {**_CODES,
+               256: np.dtype(np.int8), 512: np.dtype(np.uint16),
+               768: np.dtype(np.uint32), 1024: np.dtype(np.int64),
+               1280: np.dtype(np.uint64)}
 
 
 def _header(shape_xyz, dtype, spacing):
@@ -74,22 +79,44 @@ def save_nifti(path: str, array: np.ndarray, spacing=(1.0, 1.0, 1.0)):
 
 def load_nifti(path: str):
     """Read a (simple, single-file, little-endian) NIfTI-1 file written by
-    :func:`save_nifti` or any compliant writer. Returns (array in sitk
-    (z, y, x) order, spacing (sx, sy, sz))."""
+    :func:`save_nifti` or a compliant writer. Returns (array in sitk
+    (z, y, x) order, spacing (sx, sy, sz)). Applies scl_slope/scl_inter
+    rescaling when present; unsupported layouts (big-endian, exotic
+    datatype codes) raise NotImplementedError with the offending value."""
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         raw = f.read()
-    assert struct.unpack_from("<i", raw, 0)[0] == 348, "not NIfTI-1"
-    assert raw[344:347] == b"n+1", "not a single-file NIfTI-1"
+    sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
+    if sizeof_hdr != 348:
+        if struct.unpack_from(">i", raw, 0)[0] == 348:
+            raise NotImplementedError(
+                f"{path}: big-endian NIfTI-1 is not supported by the "
+                "built-in reader — install SimpleITK/nibabel")
+        raise ValueError(f"{path}: not NIfTI-1 (sizeof_hdr={sizeof_hdr})")
+    if raw[344:347] != b"n+1":
+        raise NotImplementedError(
+            f"{path}: only single-file (magic 'n+1') NIfTI-1 is supported, "
+            f"got magic {raw[344:348]!r}")
     dim = struct.unpack_from("<8h", raw, 40)
     ndim = dim[0]
     shape_xyz = dim[1:1 + ndim]
     code = struct.unpack_from("<h", raw, 70)[0]
+    if code not in _READ_CODES:
+        raise NotImplementedError(
+            f"{path}: NIfTI datatype code {code} is not supported by the "
+            "built-in reader — install SimpleITK/nibabel")
     pixdim = struct.unpack_from("<8f", raw, 76)
     vox_offset = int(struct.unpack_from("<f", raw, 108)[0])
-    dtype = _CODES[code]
+    scl_slope = struct.unpack_from("<f", raw, 112)[0]
+    scl_inter = struct.unpack_from("<f", raw, 116)[0]
+    dtype = _READ_CODES[code]
     count = int(np.prod(shape_xyz))
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=vox_offset)
     array = data.reshape(tuple(reversed(shape_xyz)))  # back to (z, y, x)
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        # NIfTI-1 spec: value = slope * stored + inter (slope 0 => unscaled)
+        slope = scl_slope if scl_slope != 0.0 else 1.0
+        array = (array.astype(np.float32) * np.float32(slope)
+                 + np.float32(scl_inter))
     spacing = tuple(pixdim[1:1 + max(ndim, 3)][:3])
     return array, spacing

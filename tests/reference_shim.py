@@ -241,6 +241,18 @@ def install_stubs():
     bg_aug = _module("batchgenerators.augmentations", utils=bg_utils)
     _module("batchgenerators", augmentations=bg_aug)
 
+    # -- MONAI (UNETR/SwinUNETR building blocks; 3D trainers import the
+    # net factory which imports these even when --model is unet_3D) -------
+    m_dyn = _module("monai.networks.blocks.dynunet_block",
+                    UnetOutBlock=_FailOnUse)
+    m_blocks = _module("monai.networks.blocks", UnetrBasicBlock=_FailOnUse,
+                       UnetrPrUpBlock=_FailOnUse, UnetrUpBlock=_FailOnUse,
+                       dynunet_block=m_dyn)
+    m_nets = _module("monai.networks.nets", ViT=_FailOnUse,
+                     SwinUNETR=_FailOnUse)
+    m_networks = _module("monai.networks", blocks=m_blocks, nets=m_nets)
+    _module("monai", networks=m_networks)
+
     # -- NIfTI writers (not exercised) ------------------------------------
     _module("nibabel", Nifti1Image=_FailOnUse, save=_FailOnUse)
     _module("SimpleITK", GetImageFromArray=_FailOnUse,

@@ -1,5 +1,6 @@
 """End-to-end engine tests on synthetic ACDC (CPU, 8 virtual devices)."""
 import dataclasses
+import os
 
 import jax
 import numpy as np
@@ -146,3 +147,39 @@ class TestFit:
         # {model}_best_model.ckpt with a worse model)
         for name, d in first["best_dice"].items():
             assert result["best_dice"][name] >= d
+
+    def test_restore_legacy_raw_state_checkpoint(self, acdc_root, tmp_path):
+        """Pre-meta checkpoints held raw state bytes (no {state, meta}
+        wrapper); restore_latest must fall back to that layout."""
+        from flax import serialization
+        from cvssl_tpu.utils import checkpoint as ckpt
+
+        cfg = small_cfg(acdc_root, tmp_path, exp="legacy", max_iterations=4,
+                        ckpt_every=4)
+        result = fit(cfg)
+        state = ckpt.to_host(result["state"])
+        snapshot = cfg.snapshot_path()
+        # rewrite the newest checkpoint in the legacy raw-state layout
+        import glob as _glob
+        path = sorted(_glob.glob(os.path.join(snapshot,
+                                              "model_iter_*.ckpt")))[-1]
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(state))
+        restored, it, meta = ckpt.restore_latest(
+            snapshot, state, meta_target={"best_dice": {"model": 0.0}})
+        assert it == 4 and meta == {}
+        np.testing.assert_array_equal(np.asarray(restored.step),
+                                      np.asarray(state.step))
+
+    def test_profile_dir_writes_trace(self, acdc_root, tmp_path):
+        """--profile_dir captures a TB-profile trace of steps 10-20."""
+        prof = str(tmp_path / "prof")
+        cfg = small_cfg(acdc_root, tmp_path, exp="prof", max_iterations=24,
+                        profile_dir=prof)
+        fit(cfg)
+        import glob as _glob
+        traces = _glob.glob(os.path.join(prof, "**", "*.trace.json.gz"),
+                            recursive=True) + \
+            _glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
+                       recursive=True)
+        assert traces, f"no trace files under {prof}"

@@ -42,13 +42,23 @@ def acdc_root(tmp_path_factory):
                                num_val=8, size=64)
 
 
-def _run_reference(script, root, snapshot, extra=None):
+def _run_reference(script, root, snapshot, extra=None,
+                   fix_val_patch=False):
+    import functools
     import random
 
     import torch
 
     import reference_shim as rs
     mod = rs.import_reference_trainer(script)
+    if fix_val_patch:
+        # reference QUIRK: some trainers (train_uncertainty_aware_mean_
+        # teacher_2D.py:230-232) call test_single_volume WITHOUT
+        # patch_size=args.patch_size, validating at the stale 256^2 default
+        # — invisible at production patch 256, nonsense at 64^2. Pin it so
+        # the comparison is apples-to-apples (docs/PARITY.md quirks).
+        mod.test_single_volume = functools.partial(
+            mod.test_single_volume, patch_size=[PATCH, PATCH])
     args = mod.args
     args.root_path = root
     args.max_iterations = ITERS
@@ -192,4 +202,139 @@ class TestSupervisedTrajectory:
         our_ce = _late_mean(curves["loss_ce"])
         assert abs(our_ce - ref_ce) < 0.2, (our_ce, ref_ce)
         ref_dice = np.mean([v for _, v in ref["info/val_mean_dice"]])
+        assert abs(our_dice - ref_dice) < 0.25, (our_dice, ref_dice)
+
+
+class TestUAMTTrajectory:
+    """North-star #3/#5 strategy (2D form): uncertainty-aware mean teacher —
+    ``train_uncertainty_aware_mean_teacher_2D.py:155-196``. Teacher noise
+    RNGs differ between stacks, so assertions are converged-window bands
+    like the mean-teacher test (gradient-level parity for noise-free
+    methods lives in test_grad_parity.py)."""
+
+    @pytest.fixture(scope="class")
+    def runs(self, acdc_root, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("ref_uamt")
+        ref = _run_reference("train_uncertainty_aware_mean_teacher_2D",
+                             acdc_root, str(tmp), fix_val_patch=True)
+        ours = _run_ours(acdc_root, "uamt")
+        return ref, ours
+
+    def test_loss_curves_agree_in_converged_window(self, runs):
+        ref, (curves, _) = runs
+        ref_ce = _late_mean([v for _, v in ref["info/loss_ce"]])
+        ref_dice = _late_mean([v for _, v in ref["info/loss_dice"]])
+        assert abs(_late_mean(curves["loss_ce"]) - ref_ce) < 0.2
+        assert abs(_late_mean(curves["loss_dice"]) - ref_dice) < 0.2
+
+    def test_val_dice_agrees(self, runs):
+        ref, (_, our_dice) = runs
+        ref_dice = np.mean([v for _, v in ref["info/val_mean_dice"]])
+        assert abs(our_dice - ref_dice) < 0.25, (our_dice, ref_dice)
+
+
+# ---------------------------------------------------------------------------
+# 3D UAMT (north-star #5) — train_uncertainty_aware_mean_teacher_3D.py
+# ---------------------------------------------------------------------------
+
+ITERS_3D = 200
+VOL, PATCH_3D = 24, 16
+
+
+@pytest.fixture(scope="module")
+def brats_root(tmp_path_factory):
+    from cvssl_tpu.data.synthetic import make_synthetic_brats
+    # the reference hardcodes an unlabeled pool of 250 volumes
+    # (train_uncertainty_aware_mean_teacher_3D.py:111)
+    root = str(tmp_path_factory.mktemp("parity3d") / "BraTS2019")
+    return make_synthetic_brats(root, num_train=250, num_val=4, size=VOL)
+
+
+def _run_reference_3d(root, snapshot):
+    import random
+
+    import torch
+
+    import reference_shim as rs
+    mod = rs.import_reference_trainer(
+        "train_uncertainty_aware_mean_teacher_3D")
+    args = mod.args
+    args.root_path = root
+    args.max_iterations = ITERS_3D
+    args.batch_size = 4
+    args.labeled_bs = 2
+    args.labeled_num = 4
+    args.patch_size = [PATCH_3D] * 3
+    args.seed = SEED
+    rs.reset_recorders()
+    random.seed(SEED)
+    np.random.seed(SEED)
+    torch.manual_seed(SEED)
+    logging.disable(logging.INFO)
+    try:
+        os.makedirs(snapshot, exist_ok=True)
+        mod.train(args, snapshot)
+    finally:
+        logging.disable(logging.NOTSET)
+    return rs.recorded_scalars()
+
+
+def _run_ours_3d(root):
+    import jax
+
+    from cvssl_tpu.data.pipeline import DataPipeline
+    from cvssl_tpu.train.config import TrainConfig
+    from cvssl_tpu.train.engine import Engine, build_3d_data
+
+    cfg = TrainConfig(root_path=root, method="uamt", model="unet_3D",
+                      dim=3, num_classes=2, batch_size=4, labeled_bs=2,
+                      labeled_num=4, labeled_slices_override=4,
+                      total_num=250, patch_size=(PATCH_3D,) * 3, seed=SEED,
+                      max_iterations=ITERS_3D, device_data=False,
+                      dtype="float32", s2d_levels=0, num_devices=1)
+    engine = Engine(cfg)
+    train_ds, sampler, val_ds = build_3d_data(cfg, False)
+    pipe = DataPipeline(train_ds, sampler, num_workers=2)
+    stream = pipe.stream()
+    batch = next(stream)
+    state = engine.init_state(jax.random.PRNGKey(SEED), batch)
+
+    curves = {"loss_ce": [], "loss_dice": []}
+    dices = []
+    for it in range(1, ITERS_3D + 1):
+        state, metrics = engine.train_step(state, batch)
+        batch = next(stream)
+        for k in curves:
+            curves[k].append(float(metrics[k]))
+        if it % 200 == 0:
+            perf = engine.validate(state, val_ds)
+            dices.append(float(perf[:, 0].mean()))
+    return curves, float(np.mean(dices))
+
+
+class TestUAMT3DTrajectory:
+    """North-star #5: 3D UAMT on BraTS geometry — reference
+    ``train_uncertainty_aware_mean_teacher_3D.py:130-190`` vs our
+    uamt/dim=3. Inits and RNG streams differ (no 3D weight converter), so
+    assertions are converged-window bands; step math is pinned by
+    test_reference_loss_parity + the 2D gradient parity (same loss block
+    shape, ``:166-189`` vs the 2D trainer's ``:155-196``)."""
+
+    @pytest.fixture(scope="class")
+    def runs(self, brats_root, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("ref_uamt3d")
+        ref = _run_reference_3d(brats_root, str(tmp))
+        ours = _run_ours_3d(brats_root)
+        return ref, ours
+
+    def test_loss_curves_agree_in_converged_window(self, runs):
+        ref, (curves, _) = runs
+        ref_ce = _late_mean([v for _, v in ref["info/loss_ce"]])
+        ref_dice = _late_mean([v for _, v in ref["info/loss_dice"]])
+        assert abs(_late_mean(curves["loss_ce"]) - ref_ce) < 0.25
+        assert abs(_late_mean(curves["loss_dice"]) - ref_dice) < 0.25
+
+    def test_val_dice_agrees(self, runs):
+        ref, (_, our_dice) = runs
+        ref_dice = np.mean([v for _, v in ref["info/val_dice_score"]])
         assert abs(our_dice - ref_dice) < 0.25, (our_dice, ref_dice)

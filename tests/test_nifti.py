@@ -65,3 +65,56 @@ def test_unsupported_dtype_coerced_to_f32(tmp_path):
     save_nifti(path, arr)
     back, _ = load_nifti(path)
     assert back.dtype == np.float32
+
+
+def test_scl_slope_inter_applied(tmp_path):
+    """A compliant third-party file with rescaling must load with the
+    rescaled values (value = slope * stored + inter)."""
+    arr = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    path = str(tmp_path / "scl.nii.gz")
+    save_nifti(path, arr)
+    import gzip
+    with gzip.open(path, "rb") as f:
+        raw = bytearray(f.read())
+    struct.pack_into("<f", raw, 112, 2.5)   # scl_slope
+    struct.pack_into("<f", raw, 116, -1.0)  # scl_inter
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(raw))
+    back, _ = load_nifti(path)
+    assert back.dtype == np.float32
+    np.testing.assert_allclose(back, arr.astype(np.float32) * 2.5 - 1.0)
+
+
+def test_foreign_int8_and_uint16_read(tmp_path):
+    """Read-only support for dtype codes we never write (int8=256,
+    uint16=512)."""
+    import gzip
+    for code, dtype in ((256, np.int8), (512, np.uint16)):
+        arr = np.arange(8).astype(dtype).reshape(2, 2, 2)
+        path = str(tmp_path / f"dt{code}.nii.gz")
+        save_nifti(path, arr.astype(np.int32))
+        with gzip.open(path, "rb") as f:
+            raw = bytearray(f.read())
+        struct.pack_into("<h", raw, 70, code)            # datatype
+        struct.pack_into("<h", raw, 72, arr.itemsize * 8)  # bitpix
+        raw[352:] = arr.tobytes()
+        with gzip.open(path, "wb") as f:
+            f.write(bytes(raw))
+        back, _ = load_nifti(path)
+        assert back.dtype == dtype
+        np.testing.assert_array_equal(back, arr)
+
+
+def test_unsupported_datatype_code_raises(tmp_path):
+    import gzip
+    import pytest
+    arr = np.ones((2, 2, 2), np.float32)
+    path = str(tmp_path / "bad.nii.gz")
+    save_nifti(path, arr)
+    with gzip.open(path, "rb") as f:
+        raw = bytearray(f.read())
+    struct.pack_into("<h", raw, 70, 1536)  # float128 — unsupported
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="1536"):
+        load_nifti(path)

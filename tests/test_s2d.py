@@ -131,3 +131,86 @@ def test_unet_s2d_bf16_close():
     err = np.abs(np.asarray(got) - np.asarray(ref)).max()
     scale = np.abs(np.asarray(ref)).max()
     assert err < 0.05 * scale, (err, scale)
+
+
+class TestCustomVjpPair:
+    """conv3x3_{to,from}_shifted_cv: 2-tap fwd/dgrad with dense-aligned
+    wgrad — must be grad-identical to autodiff of the plain pair."""
+
+    def test_shifted_to_space_matches_plain_conv(self):
+        import jax.lax as lax
+        rng = np.random.default_rng(0)
+        x_orig = jnp.asarray(rng.normal(size=(2, 16, 16, 4)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 4, 6)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(6,)) * 0.1, jnp.float32)
+        y_sh = s2d.conv3x3_to_shifted(s2d.space_to_depth(x_orig), k, b)
+        y_plain = lax.conv_general_dilated(
+            x_orig, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        np.testing.assert_allclose(np.asarray(s2d.shifted_to_space(y_sh)),
+                                   np.asarray(y_plain), atol=1e-5)
+
+    def test_grads_match_autodiff(self):
+        import jax
+        rng = np.random.default_rng(1)
+        x = s2d.space_to_depth(
+            jnp.asarray(rng.normal(size=(2, 16, 16, 4)), jnp.float32))
+        k0 = jnp.asarray(rng.normal(size=(3, 3, 4, 6)) * 0.1, jnp.float32)
+        b0 = jnp.asarray(rng.normal(size=(6,)) * 0.1, jnp.float32)
+        k1 = jnp.asarray(rng.normal(size=(3, 3, 6, 4)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(4,)) * 0.1, jnp.float32)
+
+        def pair(use_cv):
+            def f(x, k0, b0, k1, b1):
+                if use_cv:
+                    y = s2d.conv3x3_to_shifted_cv(x, k0, b0, None)
+                else:
+                    y = s2d.conv3x3_to_shifted(x, k0, b0)
+                y = jax.nn.relu(y)
+                y = s2d.apply_shifted_mask(y)
+                if use_cv:
+                    y = s2d.conv3x3_from_shifted_cv(y, k1, b1, None)
+                else:
+                    y = s2d.conv3x3_from_shifted(y, k1, b1)
+                return jnp.sum(jnp.sin(y))
+            return f
+
+        args = (x, k0, b0, k1, b1)
+        v_ref = float(pair(False)(*args))
+        v_cv = float(pair(True)(*args))
+        assert v_cv == pytest.approx(v_ref, rel=1e-6)
+        g_ref = jax.grad(pair(False), argnums=(0, 1, 2, 3, 4))(*args)
+        g_cv = jax.grad(pair(True), argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b in zip(g_ref, g_cv):
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-6 * scale, rtol=1e-5)
+
+    def test_unet_grad_same_with_and_without_dense_wgrad(self):
+        """End-to-end through the s2d UNet: flipping WGRAD_DENSE must not
+        change gradients (it is an XLA-program choice)."""
+        import jax
+        from cvssl_tpu.models.unet import UNet
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)), jnp.float32)
+        m = UNet(in_chns=1, num_classes=4, s2d_levels=2, dropout=(0.0,) * 5)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+        def loss(p):
+            y, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                           x, train=True, mutable=["batch_stats"])
+            return jnp.mean(y ** 2)
+
+        old = s2d.WGRAD_DENSE
+        try:
+            s2d.WGRAD_DENSE = False
+            g0 = jax.grad(loss)(v["params"])
+            s2d.WGRAD_DENSE = True
+            g1 = jax.grad(loss)(v["params"])
+        finally:
+            s2d.WGRAD_DENSE = old
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=5e-6 * scale, rtol=1e-4)

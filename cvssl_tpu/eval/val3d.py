@@ -189,32 +189,38 @@ class SlidingWindowEvaluator:
     def _plan(self, shape):
         """Padding plan for one raw volume shape.
 
-        The REFERENCE grid (``val_3D.py:17-39``): symmetric pad-to-patch,
-        target = p + ceil(max(s-p,0)/stride)*stride, raw at offset
-        total//2. Here the full pad happens ON DEVICE; the host only pads
-        the raw volume up to a 16-voxel bucket (bounding jit recompiles to
-        a few (bucket, target) keys) and tells the device where to place
-        it so the raw data still lands at the reference offset. The bucket
-        pad per axis is capped at the reference total pad so the placed
-        bucket always fits inside the target grid.
+        The REFERENCE extent (``val_3D.py:17-40``): symmetric pad-to-patch
+        only — S = max(s, p) per axis, raw at offset (S-s)//2 — with the
+        corner grid clamped to S (``:42-56``), so every raw voxel is
+        covered even when stride > patch. (An earlier design padded S up
+        to stride multiples with UNclamped corners; that left cnt=0 gaps
+        whenever stride > patch — val dice 0.0 at patch 32 / stride 64 —
+        and inflated the grid ~50% at the BraTS bench shapes.)
 
-        Returns (target, bucket_pads (lo16, hi16) per axis, place (3,),
-        crop lo16 per axis) — all host ints."""
+        The pad happens ON DEVICE: the device grid is S rounded up to a
+        16-voxel bucket (bounding jit recompiles to a few shape keys);
+        the host pads the raw volume only to its own 16-bucket and tells
+        the device where to place it so raw data lands at the reference
+        offset. Cells in [S, target) are touched by no window (cnt 0 →
+        NaN score) and are cropped out before the D2H fetch / on host.
+
+        Returns (target grid, corner extent S, bucket_pads (lo, hi) per
+        axis, place (3,)) — all host ints."""
         p = self.patch_size
-        strides = (self.stride_xy, self.stride_xy, self.stride_z)
-        target, bpads, place = [], [], []
+        target, extent, bpads, place = [], [], [], []
         for i in range(3):
             s = shape[i]
-            t = p[i] + math.ceil(max(max(s, p[i]) - p[i], 0) /
-                                 strides[i]) * strides[i]
-            total = t - s
-            o = total // 2                      # reference raw offset
-            b = min((-s) % 16, total)           # bucket pad, capped
-            lo = min(o, b)                      # split before/after raw
+            S = max(s, p[i])
+            ref_lo = (S - s) // 2               # reference raw offset
+            t = -(-S // 16) * 16                # static grid, 16-bucketed
+            b = min((-s) % 16, t - s)           # host bucket pad, capped
+            lo = min(ref_lo, b)                 # split before/after raw
             target.append(t)
+            extent.append(S)
             bpads.append((lo, b - lo))
-            place.append(o - lo)                # bucket start within target
-        return tuple(target), bpads, np.asarray(place, np.int32)
+            place.append(ref_lo - lo)           # bucket start within grid
+        return tuple(target), tuple(extent), bpads, \
+            np.asarray(place, np.int32)
 
     def predict_volume_async(self, image: np.ndarray):
         """Dispatch the sliding window for one volume and return a
@@ -225,9 +231,9 @@ class SlidingWindowEvaluator:
         Host->device carries the (bucketed) RAW volume; padding, cropping
         and (binary) bit-packing run on device, so both tunnel directions
         move close to the minimum number of bytes."""
-        target, bpads, place = self._plan(image.shape)
+        target, extent, bpads, place = self._plan(image.shape)
         bucket = np.pad(image, bpads, mode="constant", constant_values=0)
-        corners = compute_corners(target, self.patch_size,
+        corners = compute_corners(extent, self.patch_size,
                                   self.stride_xy, self.stride_z)
         fut = self._acc(jnp.asarray(bucket, jnp.float32),
                         jnp.asarray(corners), jnp.asarray(place),

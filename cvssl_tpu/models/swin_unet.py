@@ -131,7 +131,12 @@ class WindowAttention(nn.Module):
                            trunc_normal_init,
                            ((2 * ws - 1) * (2 * ws - 1), heads))
         idx = relative_position_index(ws).reshape(-1)
-        bias = table[idx].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+        # bias lookup as a STATIC one-hot matmul, not a gather — gathers
+        # cost ~20ns/element on TPU (2401 x heads x 24 blocks adds up);
+        # the (n^2, table) one-hot is a trace-time constant.
+        sel = jnp.asarray(np.eye(table.shape[0], dtype=np.float32)[idx])
+        bias = (sel @ table).reshape(ws * ws, ws * ws, heads
+                                     ).transpose(2, 0, 1)
         attn = attn + bias[None]
 
         if mask is not None:

@@ -126,8 +126,13 @@ def ce_dice(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
     """(cross_entropy, dice) pair — the supervised-loss ingredients every
     reference trainer computes (``train_fully_supervised_2D.py:112-114``).
     ``fused=True`` (cfg.fused_loss) takes the Pallas single-HBM-sweep kernel
-    on TPU (class axis must be last); identical numerics either way."""
-    if fused and logits.ndim >= 2:
+    on TPU (class axis must be last); identical numerics either way.
+
+    2D-shaped logits only (ndim <= 4): at 3D shapes the kernel's class-major
+    transpose of (B*D*H*W, C) costs more than the fusion saves — UAMT-3D
+    measured 346 ms/step unfused vs 364-397 fused (scripts/probe_uamt3d.py,
+    scan-amortized), so 5D logits always take the jnp path."""
+    if fused and 2 <= logits.ndim <= 4:
         from cvssl_tpu.ops.pallas_kernels import fused_ce_dice
         return fused_ce_dice(logits, labels, num_classes)
     return (cross_entropy(logits, labels),

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_every", type=int, default=d.val_every)
     p.add_argument("--ckpt_every", type=int, default=d.ckpt_every)
     p.add_argument("--num_workers", type=int, default=d.num_workers)
+    p.add_argument("--rng_impl", type=str, default=d.rng_impl,
+                   choices=["auto", "threefry", "rbg"],
+                   help="PRNG impl for dropout/augment streams "
+                        "(auto = rbg on TPU)")
     p.add_argument("--dtype", type=str, default=d.dtype,
                    choices=["auto", "float32", "bfloat16"],
                    help="model compute dtype; auto = bf16 on TPU")
@@ -92,6 +96,7 @@ def config_from_args(args) -> TrainConfig:
         consistency_type=args.consistency_type, conf_thresh=args.conf_thresh,
         snapshot_root=args.snapshot_root, val_every=args.val_every,
         ckpt_every=args.ckpt_every, num_workers=args.num_workers,
+        rng_impl=args.rng_impl,
         dtype=args.dtype, s2d_levels=args.s2d_levels, dim=args.dim,
         num_devices=args.num_devices, dcn_slices=args.dcn_slices,
         scan_steps=args.scan_steps,

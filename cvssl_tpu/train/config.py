@@ -63,6 +63,15 @@ class TrainConfig:
     val_every: int = 200
     ckpt_every: int = 3000
     num_workers: int = 8
+    # PRNG implementation for the training step's dropout/augmentation
+    # streams. "auto" = XLA RngBitGenerator ("rbg") on TPU — measured ~2 ms
+    # faster per grad step than threefry at the bench config
+    # (scripts/probe_wgrad.py) — threefry elsewhere. Streams change with
+    # the impl (they already differ from the torch reference); set
+    # "threefry" for cross-backend reproducibility. Key shapes differ
+    # between impls, so resuming a checkpoint across an impl change is
+    # not supported (pass the old impl explicitly to resume).
+    rng_impl: str = "auto"
     # Model compute dtype. "auto" = bfloat16 on TPU, float32 on CPU.
     # (Round-1 note "bf16 slower" was measured at 32^2 toy shapes; at the
     # production 256^2 shapes bf16 convs are 1.6-1.8x faster —
@@ -104,12 +113,24 @@ class TrainConfig:
         s2d's both spatial axes, 3D s2d's H/W only), and ``vit_kwargs``
         overrides for the SwinUnet slot."""
         if net_type in ("ViT_Seg", "swin_unet"):
-            # NOTE: bf16 measured SLOWER for SwinUnet train at 224^2 on
-            # v5e (128.8 vs 143.6 slices/s in cross-teaching — the
-            # softmax/LayerNorm cast boundaries outweigh the matmul gains
-            # at embed 96), so dtype is NOT auto-applied here; opt in via
-            # vit_kwargs={"dtype": ...} if profiling says otherwise.
-            return dict(self.vit_kwargs or {})
+            # Round-2 recorded "bf16 SLOWER for SwinUnet" from per-step
+            # engine timings — those drift +-15% through the axon tunnel
+            # and two later A/Bs REVERSED between repeats. Scan-amortized
+            # measurements (the only reliable kind here; K steps inside
+            # one jit, single fetch — scripts/probe_ct.py) say bf16 wins:
+            # cross-teaching step 85.1/85.1 ms bf16 vs 88.7/96.9 ms f32
+            # after the one-hot bias-matmul fix (isolated swin grad 45.1
+            # vs 49.2 ms — scripts/probe_swin.py). So "auto" applies bf16
+            # to the ViT slot on TPU too. Override via vit_kwargs.
+            kw = {}
+            if self.dtype != "float32":
+                import jax
+                import jax.numpy as jnp
+                if self.dtype == "bfloat16" or \
+                        jax.default_backend() != "cpu":
+                    kw["dtype"] = jnp.bfloat16
+            kw.update(self.vit_kwargs or {})
+            return kw
         if net_type not in ("unet", "unet_3D", "unet_3D_dv_semi"):
             return {}
         import jax

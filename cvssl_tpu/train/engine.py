@@ -46,6 +46,15 @@ from cvssl_tpu.utils.logging import MetricsWriter, setup_logging
 class Engine:
     def __init__(self, cfg: TrainConfig, method: Optional[Method] = None):
         self.cfg = cfg
+        impl = getattr(cfg, "rng_impl", "auto")
+        if impl == "auto":
+            impl = "rbg" if jax.default_backend() not in ("cpu",) \
+                else "threefry2x32"
+        elif impl == "threefry":
+            impl = "threefry2x32"
+        # old-style raw uint32 keys under the chosen impl: serializable in
+        # checkpoints, and every split/bernoulli in the step inherits it
+        jax.config.update("jax_default_prng_impl", impl)
         self.method = method or get_method(cfg.method, cfg)
         self.modules = self.method.build_models()
         ndev = cfg.num_devices
@@ -61,6 +70,7 @@ class Engine:
         self._train_step = None
         self._train_step_indexed = None
         self._train_scan_step = None
+        self._train_step_fixed = None
         self.store = None  # optional device-resident data store
         self._predict_fns: Dict[str, callable] = {}
 
@@ -257,6 +267,29 @@ class Engine:
             self._train_scan_step = self._build_scan_step()
         idx = jnp.asarray(np.asarray(indices_matrix, np.int32))
         return self._train_scan_step(state, self.store.arrays(), idx)
+
+    def train_steps_fixed(self, state: TrainState, batch: dict, k: int):
+        """K fused steps over ONE (host-provided) batch — lax.scan over the
+        step body inside a single XLA program. For benchmarking/probing on
+        tunneled TPUs: per-step dispatch timings drift +-15-30% with relay
+        stalls, while a scanned program measures pure device time (and the
+        dispatch amortization is exactly what ``scan_steps`` buys the
+        store-backed production path)."""
+        if self._train_step_fixed is None:
+            body = self._build_train_step_body()
+
+            @functools.partial(jax.jit, static_argnums=(2,),
+                               donate_argnums=(0,))
+            def steps_fn(state, batch, n):
+                def step(s, _):
+                    return body(s, batch)
+
+                state, metrics = jax.lax.scan(step, state, None, length=n)
+                return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+            self._train_step_fixed = steps_fn
+        batch = jax.device_put(batch, pmesh.batch_sharding(self.mesh))
+        return self._train_step_fixed(state, batch, k)
 
     # ------------------------------------------------------------------
     # prediction / validation

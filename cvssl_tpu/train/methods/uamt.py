@@ -13,6 +13,10 @@ import jax.numpy as jnp
 from cvssl_tpu.ops import losses, ramps
 from cvssl_tpu.train.methods.base import Method, register_method, split_batch
 
+# Fuse the 3D teacher's consistency-target forward into the T-pass MC batch
+# (InstanceNorm models only — exact). Module flag so probes can A/B it.
+FUSE_TEACHER_3D = True
+
 
 @register_method("uamt")
 class UncertaintyAwareMeanTeacher(Method):
@@ -30,15 +34,26 @@ class UncertaintyAwareMeanTeacher(Method):
         ema_inputs = unlabeled_img + noise
 
         outputs = self.primary_logits(ctx.forward("model", batch["image"]))
-        ema_logits = self.primary_logits(
-            ctx.forward_teacher("model", ema_inputs))
 
-        # MC-dropout uncertainty: T noisy teacher passes, batched as one.
         tiled = jnp.tile(unlabeled_img, (T,) + (1,) * (unlabeled_img.ndim - 1))
         mc_noise = jnp.clip(
             0.1 * jax.random.normal(ctx.next_rng(), tiled.shape), -0.2, 0.2)
-        mc_logits = self.primary_logits(
-            ctx.forward_teacher("model", tiled + mc_noise))
+        if self.cfg.dim == 3 and FUSE_TEACHER_3D:
+            # 3D models normalize per sample (InstanceNorm), so the
+            # consistency-target forward and the T MC passes fuse into ONE
+            # (T+1)*u teacher batch — exactly the reference's 1 + T/2
+            # sequential calls (:160-172), one conv batch on the MXU.
+            all_logits = self.primary_logits(ctx.forward_teacher(
+                "model", jnp.concatenate([ema_inputs, tiled + mc_noise])))
+            ema_logits, mc_logits = all_logits[:u], all_logits[u:]
+        else:
+            # 2D UNet teachers run BatchNorm in train mode: batching would
+            # change which batch statistics normalize each pass, so the
+            # two forwards stay separate for reference parity.
+            ema_logits = self.primary_logits(
+                ctx.forward_teacher("model", ema_inputs))
+            mc_logits = self.primary_logits(
+                ctx.forward_teacher("model", tiled + mc_noise))
         preds = jax.nn.softmax(mc_logits.astype(jnp.float32), axis=-1)
         preds = preds.reshape((T, u) + preds.shape[1:]).mean(axis=0)
         uncertainty = -jnp.sum(preds * jnp.log(preds + 1e-6), axis=-1,

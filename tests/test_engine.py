@@ -72,6 +72,21 @@ class TestEngineStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6)
 
+    def test_train_steps_fixed_matches_step_count(self, acdc_root, tmp_path):
+        # bench/probe path: K scanned steps over one fixed batch advance
+        # state.step by K and return finite last-step metrics
+        cfg = small_cfg(acdc_root, tmp_path, method="mean_teacher")
+        engine = Engine(cfg)
+        rng_np = np.random.default_rng(0)
+        ds = SliceDataset(acdc_root, "train",
+                          transform=T.RandomGenerator((64, 64), rng_np))
+        pipe = DataPipeline(ds, ShuffleBatchSampler(len(ds), 8, rng_np))
+        batch = next(iter(pipe))
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = engine.train_steps_fixed(state, batch, 3)
+        assert int(state.step) == 3
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_validate(self, acdc_root, tmp_path):
         cfg = small_cfg(acdc_root, tmp_path)
         engine = Engine(cfg)

@@ -238,7 +238,9 @@ class TestUAMTTrajectory:
 # ---------------------------------------------------------------------------
 
 ITERS_3D = 200
-VOL, PATCH_3D = 24, 16
+# patch 32 is the smallest the reference unet_3D trains at (4 poolings ->
+# 2^3 deepest level; 16^3 dies in torch InstanceNorm at 1^3)
+VOL, PATCH_3D = 40, 32
 
 
 @pytest.fixture(scope="module")

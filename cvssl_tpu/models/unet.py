@@ -229,6 +229,36 @@ def bilinear_resize(x: jnp.ndarray, new_hw, align_corners: bool = True):
     return jax.image.resize(x, (b, nh, nw, c), method="bilinear")
 
 
+def upsample2x_to_s2d(x: jnp.ndarray, s2d_in: bool = False):
+    """Bilinear x2 (align_corners=True) emitting its output directly in s2d
+    form: the (a, b) sub-position axes fall out of the two interpolation
+    einsums as minor output axes, so the ``space_to_depth`` transpose that
+    would otherwise follow (a strided HBM copy, mirrored in the backward)
+    never materializes. With ``s2d_in`` the input is itself an s2d tensor
+    and the leading ``depth_to_space`` is folded the same way. Same
+    interpolation weights and row-then-column order as
+    :func:`bilinear_resize` — numerically the same resize."""
+    if s2d_in:
+        b, hh, ww, gc = x.shape
+        c = gc // 4
+        h, w = 2 * hh, 2 * ww
+        xg = x.reshape(b, hh, ww, 2, 2, c)
+        # R[2i+a, 2ih+A] -> [i, a, ih, A]; likewise for columns
+        rm = jnp.asarray(_lerp_matrix(h, 2 * h).reshape(h, 2, hh, 2),
+                         x.dtype)
+        cm = jnp.asarray(_lerp_matrix(w, 2 * w).reshape(w, 2, ww, 2),
+                         x.dtype)
+        t = jnp.einsum("iahA,bhwABc->biwaBc", rm, xg)
+        y = jnp.einsum("jpwB,biwaBc->bijapc", cm, t)
+    else:
+        b, h, w, c = x.shape
+        rm = jnp.asarray(_lerp_matrix(h, 2 * h).reshape(h, 2, h), x.dtype)
+        cm = jnp.asarray(_lerp_matrix(w, 2 * w).reshape(w, 2, w), x.dtype)
+        t = jnp.einsum("iah,bhwc->biwac", rm, x)
+        y = jnp.einsum("jpw,biwac->bijapc", cm, t)
+    return y.reshape(b, h, w, 4 * c)
+
+
 class UpBlock(nn.Module):
     """Upsample + skip concat + ConvBlock (``unet.py:65-86``).
 
@@ -253,10 +283,17 @@ class UpBlock(nn.Module):
         if self.s2d:
             assert self.bilinear, "s2d UpBlock implements the bilinear path"
             if self.s2d_x1:
-                x1 = s2d_ops.depth_to_space(x1)
-            x1 = nn.Conv(self.skip_channels, (1, 1), dtype=self.dtype)(x1)
-            x1 = bilinear_resize(x1, (x1.shape[1] * 2, x1.shape[2] * 2))
-            x1 = s2d_ops.space_to_depth(x1)
+                # stay in s2d coords end-to-end: 1x1 conv is a block-
+                # diagonal matmul there, and the x2 upsample emits s2d
+                # directly (both d2s and s2d transposes fold away)
+                k, kb = ConvW(self.skip_channels, (1, 1),
+                              x1.shape[-1] // 4, name="Conv_0")()
+                x1 = s2d_ops.conv1x1(x1, k, kb, dtype=self.dtype)
+                x1 = upsample2x_to_s2d(x1, s2d_in=True)
+            else:
+                x1 = nn.Conv(self.skip_channels, (1, 1),
+                             dtype=self.dtype)(x1)
+                x1 = upsample2x_to_s2d(x1)
             x = s2d_ops.concat([x2, x1],
                                [x2.shape[-1] // 4, self.skip_channels])
             return ConvBlock(self.out_channels, self.dropout_p, s2d=True,
@@ -306,6 +343,7 @@ class Decoder(nn.Module):
     features: Sequence[int] = DEFAULT_FEATURES
     bilinear: bool = True
     s2d_levels: int = 0
+    s2d_logits: bool = False  # emit grouped s2d logits (B, HH, WW, 4, C)
     dtype: Any = None
 
     @nn.compact
@@ -323,7 +361,16 @@ class Decoder(nn.Module):
         if s >= 1:
             k, b = ConvW(self.num_classes, (3, 3), f[0], name="Conv_0")()
             out = s2d_ops.conv3x3(x, k, b, dtype=dt)
-            out = s2d_ops.depth_to_space(out)
+            if self.s2d_logits:
+                # grouped view (B, HH, WW, 4, C): the SAME logits, class
+                # axis still last — every per-pixel loss is invariant, and
+                # skipping depth_to_space avoids a 1.5 ms transposing copy
+                # (plus its backward mirror) through 3%-occupied lanes at
+                # (B, 256, 256, 4) f32 (scripts/probe_grad_profile.py)
+                bb, hh, ww, gc = out.shape
+                out = out.reshape(bb, hh, ww, 4, gc // 4)
+            else:
+                out = s2d_ops.depth_to_space(out)
         else:
             out = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=dt)(x)
         return out.astype(jnp.float32)
@@ -374,6 +421,9 @@ class UNet(nn.Module):
     dropout: Sequence[float] = DEFAULT_DROPOUT
     bilinear: bool = True
     s2d_levels: int = 0
+    s2d_logits: bool = False  # grouped (B, H/2, W/2, 4, C) logits — pair
+    # with ops.s2d.space_to_depth_labels; train-step only (eval code
+    # expects original layout)
     dtype: Any = None
 
     @nn.compact
@@ -385,8 +435,9 @@ class UNet(nn.Module):
                         s2d_levels=self.s2d_levels, dtype=self.dtype)(
             x, train=train)
         return Decoder(self.num_classes, self.features, self.bilinear,
-                       s2d_levels=self.s2d_levels, dtype=self.dtype)(
-            feats, train=train)
+                       s2d_levels=self.s2d_levels,
+                       s2d_logits=self.s2d_logits and self.s2d_levels >= 1,
+                       dtype=self.dtype)(feats, train=train)
 
 
 class UNetFeature(nn.Module):

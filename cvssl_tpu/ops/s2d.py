@@ -119,6 +119,17 @@ def conv1x1(x: jnp.ndarray, k: jnp.ndarray, bias=None, dtype=None):
     return y.reshape(x.shape[:-1] + (4 * co,))
 
 
+def space_to_depth_labels(lab: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Integer label map (B, H, W) -> its s2d view (B, H/r, W/r, r*r),
+    sub-position axis last, (a*r+b) order — matches the grouped-logits
+    view (B, HH, WW, r*r, C) the model emits under ``s2d_logits=True``.
+    Same pixels, re-indexed: every per-pixel loss is invariant."""
+    b, h, w = lab.shape
+    x = lab.reshape(b, h // r, r, w // r, r)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, h // r, w // r, r * r)
+
+
 def group_max(x: jnp.ndarray) -> jnp.ndarray:
     """MaxPool 2x2 stride 2 of the ORIGINAL tensor, computed in s2d coords:
     (B, HH, WW, 4C) -> (B, HH, WW, C) — max over the (a, b) sub-positions."""

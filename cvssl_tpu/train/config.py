@@ -81,6 +81,14 @@ class TrainConfig:
     # levels (ops/s2d.py — exact reformulation). None = auto: 2 on TPU,
     # 0 on CPU. Requires patch dims divisible by 2**levels.
     s2d_levels: Optional[int] = None
+    # Keep 2D UNet logits in their s2d grouped view (B, H/2, W/2, 4, C)
+    # through the TRAIN losses — same pixels, no depth_to_space transpose
+    # (the d2s chain + original-layout slices cost ~4-6 ms/step through
+    # 3%-occupied (..., 4) lanes; scripts/probe_grad_profile.py). Labels
+    # are re-indexed to match inside the step; validation/inference always
+    # sees original-layout logits. "auto" = on for per-pixel-loss methods
+    # on plain UNet models; "off" disables.
+    s2d_loss: str = "auto"
     dim: int = 2                       # 2 or 3 (dataset/model family)
     num_devices: Optional[int] = None  # mesh size (default: all)
     dcn_slices: Optional[int] = None   # fold the mesh as (dcn, data) —
@@ -153,3 +161,23 @@ class TrainConfig:
         if dt != "float32":
             kw["dtype"] = jnp.dtype(dt)
         return kw
+
+    # methods whose losses are purely per-pixel over the logit map (class
+    # axis -1, no spatial ops on logits) — safe under the s2d grouped view
+    S2D_LOSS_METHODS = ("supervised", "mean_teacher", "uamt", "cps", "ict",
+                        "fixmatch")
+
+    def s2d_loss_on(self) -> bool:
+        """Whether the train step runs losses in the s2d grouped-logits
+        domain (see the ``s2d_loss`` field). Requires: 2D, every model a
+        plain UNet actually running the s2d path, and a method from
+        ``S2D_LOSS_METHODS``."""
+        if self.s2d_loss == "off" or self.dim != 2:
+            return False
+        if self.method not in self.S2D_LOSS_METHODS:
+            return False
+        # every model these methods build comes from cfg.model (cps builds
+        # two copies of it); model2 is only read by non-whitelisted methods
+        if self.model != "unet":
+            return False
+        return bool(self.model_kwargs("unet").get("s2d_levels", 0))

@@ -140,6 +140,14 @@ class Engine:
         main_names = tuple(n for n in method.model_names
                            if n not in adv_names)
 
+        s2d_loss = cfg.s2d_loss_on()
+        if s2d_loss:
+            # train forwards emit grouped s2d logits (no depth_to_space —
+            # see TrainConfig.s2d_loss); identical params, different output
+            # VIEW, so the same state drives eval in original layout
+            modules = {n: m.clone(s2d_logits=True)
+                       for n, m in modules.items()}
+
         def make_ctx(params, state, batch_stats, rng):
             return StepCtx(cfg, modules, params, batch_stats,
                            state.teacher_params, state.teacher_batch_stats,
@@ -163,6 +171,12 @@ class Engine:
             return loss, (metrics, ctx.stats)
 
         def step_fn(state: TrainState, batch: dict):
+            if s2d_loss:
+                from cvssl_tpu.ops.s2d import space_to_depth_labels
+                batch = {**batch}
+                for k in ("label", "label_aug"):  # fixmatch sups on label_aug
+                    if k in batch:
+                        batch[k] = space_to_depth_labels(batch[k])
             rng, g_rng, d_rng = jax.random.split(state.rng, 3)
             main_params = {n: state.params[n] for n in main_names}
             adv_params = {n: state.params[n] for n in adv_names}

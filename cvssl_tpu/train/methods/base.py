@@ -102,6 +102,13 @@ class Method:
         ingredients. Routes through the Pallas fused single-HBM-sweep
         kernel when ``cfg.fused_loss`` (TPU only; identical numerics)."""
         from cvssl_tpu.ops import losses
+        if logits.ndim == 5 and label.ndim == 4 and self.cfg.dim == 2:
+            # grouped s2d logits (B, HH, WW, 4, C) — flatten the sub-pos
+            # axis into W (contiguous, free): per-pixel losses are
+            # invariant and the Pallas fused path's 2D gate applies
+            b, hh, ww, g, c = logits.shape
+            logits = logits.reshape(b, hh, ww * g, c)
+            label = label.reshape(b, hh, ww * g)
         return losses.ce_dice(logits, label, self.cfg.num_classes,
                               fused=getattr(self.cfg, "fused_loss", False))
 

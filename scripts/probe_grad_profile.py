@@ -1,0 +1,72 @@
+"""TPU probe: per-op time attribution for the mean-teacher train step at
+the bench config, via jax.profiler device trace (works through the axon
+relay — the trace carries /device:TPU:0 X events). Prints the top HLO ops
+by total device time over the traced window plus a category rollup."""
+import collections
+import glob
+import gzip
+import json
+import re
+import sys
+import time
+
+import jax
+import numpy as np
+
+OUT = "/tmp/grad_prof"
+
+
+def main():
+    from cvssl_tpu.train.config import TrainConfig
+    from cvssl_tpu.train.engine import Engine
+
+    batch = 24
+    cfg = TrainConfig(method="mean_teacher", model="unet", num_classes=4,
+                      batch_size=batch, labeled_bs=12,
+                      patch_size=(256, 256), num_devices=None,
+                      labeled_slices_override=12)
+    engine = Engine(cfg)
+    rng = np.random.default_rng(0)
+    b = {"image": rng.normal(size=(batch, 256, 256, 1)).astype(np.float32),
+         "label": rng.integers(0, 4, (batch, 256, 256)).astype(np.int32),
+         "idx": np.arange(batch, dtype=np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(0), b)
+    state, m = engine.train_steps_fixed(state, b, 10)
+    float(m["loss"])  # compile + sync
+
+    with jax.profiler.trace(OUT):
+        state, m = engine.train_steps_fixed(state, b, 10)
+        float(m["loss"])
+
+    time.sleep(2)
+    paths = sorted(glob.glob(OUT + "/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        print("no trace written", file=sys.stderr)
+        return
+    with gzip.open(paths[-1]) as f:
+        tr = json.load(f)
+    ev = tr.get("traceEvents", [])
+    tpu_pids = {e["pid"] for e in ev if e.get("ph") == "M"
+                and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    agg = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            agg[e["name"]] += e.get("dur", 0)
+    total = sum(agg.values())
+    print(f"total device time {total/1e3:.2f} ms over traced window "
+          f"(10 steps => {total/1e4:.2f} ms/step)")
+    cats = collections.Counter()
+    for name, dur in agg.items():
+        m_ = re.match(r"([a-zA-Z_\-]+)", name)
+        cats[m_.group(1) if m_ else name] += dur
+    print("\n-- categories --")
+    for name, dur in cats.most_common(15):
+        print(f"{dur/1e4:8.3f} ms/step  {100*dur/total:5.1f}%  {name}")
+    print("\n-- top ops --")
+    for name, dur in agg.most_common(40):
+        print(f"{dur/1e4:8.3f} ms/step  {100*dur/total:5.1f}%  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()

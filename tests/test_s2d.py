@@ -211,6 +211,10 @@ class TestCustomVjpPair:
             s2d.WGRAD_DENSE = old
         for a, b in zip(jax.tree_util.tree_leaves(g0),
                         jax.tree_util.tree_leaves(g1)):
+            # conv biases feeding straight into BatchNorm have analytically
+            # ZERO gradient (BN subtracts the mean); their leaves hold pure
+            # fp noise at the 1e-8 scale, so floor the atol there
             scale = max(float(jnp.abs(a).max()), 1e-6)
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                       atol=5e-6 * scale, rtol=1e-4)
+                                       atol=max(5e-6 * scale, 1e-7),
+                                       rtol=1e-4)

@@ -1,0 +1,85 @@
+"""s2d grouped-logits train losses (cfg.s2d_loss): the step must be
+numerically equivalent to the depth_to_space path — same pixels, different
+layout (reference has no analog; this is a pure TPU-layout optimization)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvssl_tpu.ops import s2d
+from cvssl_tpu.train.config import TrainConfig
+from cvssl_tpu.train.engine import Engine
+
+
+def test_space_to_depth_labels_matches_s2d_layout():
+    """Label re-indexing must use the same (a*2+b) group-major order as
+    space_to_depth (C=1 case: layouts coincide exactly)."""
+    rng = np.random.default_rng(0)
+    lab = rng.integers(0, 4, (2, 8, 6)).astype(np.int32)
+    got = np.asarray(s2d.space_to_depth_labels(jnp.asarray(lab)))
+    want = np.asarray(s2d.space_to_depth(
+        jnp.asarray(lab)[..., None].astype(jnp.float32))).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grouped_logits_match_depth_to_space_view():
+    """The Decoder's (B, HH, WW, 4, C) reshape is the same tensor
+    depth_to_space would emit, re-indexed."""
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.normal(size=(2, 4, 4, 4 * 3)).astype(np.float32))
+    full = np.asarray(s2d.depth_to_space(y))          # (2, 8, 8, 3)
+    grouped = np.asarray(y.reshape(2, 4, 4, 4, 3))     # (B, HH, WW, g, C)
+    for a in range(2):
+        for b in range(2):
+            np.testing.assert_array_equal(
+                full[:, a::2, b::2, :], grouped[:, :, :, a * 2 + b, :])
+
+
+def _batch(rng, b=8, size=64):
+    img = rng.normal(size=(b, size, size, 1)).astype(np.float32)
+    lab = rng.integers(0, 4, (b, size, size)).astype(np.int32)
+    return {"image": img, "label": lab,
+            "image_weak": img,
+            "image_strong": img + 0.1 * rng.normal(
+                size=img.shape).astype(np.float32),
+            "label_aug": lab, "idx": np.arange(b, dtype=np.int32)}
+
+
+# uamt/ict are whitelisted too but exercise the same per-pixel loss ops as
+# mean_teacher (their extra logit uses — MC reshape over leading axes,
+# mixup on inputs — don't touch the spatial layout); kept out of the
+# parametrization to bound CPU compile time (~4 min per method).
+@pytest.mark.parametrize("method", ["supervised", "mean_teacher",
+                                    "cps", "fixmatch"])
+def test_s2d_loss_step_equivalence(method, tmp_path):
+    """One train_step with s2d_loss on vs off: identical metrics and
+    updated params (f32, s2d_levels=2 forced on CPU)."""
+    base = TrainConfig(
+        root_path="unused", exp="s2dloss", model="unet", method=method,
+        num_classes=4, batch_size=8, labeled_bs=4, patch_size=(64, 64),
+        labeled_slices_override=4, snapshot_root=str(tmp_path),
+        s2d_levels=2, dtype="float32", fused_loss=False, uncertainty_T=2,
+        device_data=False, num_devices=1)
+    cfg_off = dataclasses.replace(base, s2d_loss="off")
+    cfg_on = dataclasses.replace(base, s2d_loss="auto")
+    assert cfg_on.s2d_loss_on() and not cfg_off.s2d_loss_on()
+
+    batch = _batch(np.random.default_rng(2))
+    results = []
+    for cfg in (cfg_off, cfg_on):
+        engine = Engine(cfg)
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = engine.train_step(state, batch)
+        results.append((jax.device_get(state.params),
+                        jax.device_get(metrics)))
+    (p_off, m_off), (p_on, m_on) = results
+    for k in m_off:
+        np.testing.assert_allclose(m_off[k], m_on[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=f"metric {k}")
+    flat_off = jax.tree_util.tree_leaves_with_path(p_off)
+    flat_on = jax.tree_util.tree_leaves(p_on)
+    for (path, a), b in zip(flat_off, flat_on):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))

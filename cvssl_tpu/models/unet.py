@@ -125,9 +125,17 @@ class ConvBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, extra=None, *, train: bool):
+        # ``extra`` is a second input channel-group (UpBlock's upsampled
+        # x1, following the skip x2): conv(concat(x, e), K) ==
+        # conv(x, K[:c]) + conv(e, K[c:]), so in s2d coords the grouped
+        # channel concat (a real HBM interleave, ops/s2d.py::concat, plus
+        # its backward split) never materializes. Param tree unchanged —
+        # Conv_0 still holds the full (3, 3, c+ce, Co) kernel.
         if self.s2d:
-            return self._call_s2d(x, train=train)
+            return self._call_s2d(x, extra, train=train)
+        if extra is not None:
+            x = jnp.concatenate([x, extra], axis=-1)
         x = nn.Conv(self.out_channels, (3, 3), padding=1,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -141,14 +149,22 @@ class ConvBlock(nn.Module):
                          epsilon=1e-5, dtype=self.dtype)(x)
         return nn.leaky_relu(x, negative_slope=0.01)
 
-    def _call_s2d(self, x, *, train: bool):
+    def _call_s2d(self, x, extra=None, *, train: bool):
         co = self.out_channels
-        k0, b0 = ConvW(co, (3, 3), x.shape[-1] // 4, name="Conv_0")()
+        cx = x.shape[-1] // 4
+        c_in = cx + (extra.shape[-1] // 4 if extra is not None else 0)
+        k0, b0 = ConvW(co, (3, 3), c_in, name="Conv_0")()
         k1, b1 = ConvW(co, (3, 3), co, name="Conv_1")()
         if self.s2d_pair:
             b, hh, ww, _ = x.shape
             true_count = b * 4 * hh * ww  # per-channel, excluding overhang
-            x = s2d_ops.pair_to_shifted(x, k0, b0, dtype=self.dtype)
+            if extra is None:
+                x = s2d_ops.pair_to_shifted(x, k0, b0, dtype=self.dtype)
+            else:
+                x = (s2d_ops.pair_to_shifted(x, k0[:, :, :cx], b0,
+                                             dtype=self.dtype)
+                     + s2d_ops.pair_to_shifted(extra, k0[:, :, cx:], None,
+                                               dtype=self.dtype))
             x = S2DBatchNorm(co, use_running_average=not train,
                              dtype=self.dtype, true_count=true_count,
                              name="BatchNorm_0")(x)
@@ -162,7 +178,12 @@ class ConvBlock(nn.Module):
             x = S2DBatchNorm(co, use_running_average=not train,
                              dtype=self.dtype, name="BatchNorm_1")(x)
             return nn.leaky_relu(x, negative_slope=0.01)
-        x = s2d_ops.conv3x3(x, k0, b0, dtype=self.dtype)
+        if extra is None:
+            x = s2d_ops.conv3x3(x, k0, b0, dtype=self.dtype)
+        else:
+            x = (s2d_ops.conv3x3(x, k0[:, :, :cx], b0, dtype=self.dtype)
+                 + s2d_ops.conv3x3(extra, k0[:, :, cx:], None,
+                                   dtype=self.dtype))
         x = S2DBatchNorm(co, use_running_average=not train,
                          dtype=self.dtype, name="BatchNorm_0")(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
@@ -294,10 +315,11 @@ class UpBlock(nn.Module):
                 x1 = nn.Conv(self.skip_channels, (1, 1),
                              dtype=self.dtype)(x1)
                 x1 = upsample2x_to_s2d(x1)
-            x = s2d_ops.concat([x2, x1],
-                               [x2.shape[-1] // 4, self.skip_channels])
+            # no s2d concat: the ConvBlock reads (x2, x1) as two channel
+            # groups and splits its first kernel instead (skip-first
+            # order matches the reference's torch.cat([x2, x1], dim=1))
             return ConvBlock(self.out_channels, self.dropout_p, s2d=True,
-                             dtype=self.dtype)(x, train=train)
+                             dtype=self.dtype)(x2, x1, train=train)
         if self.bilinear:
             x1 = nn.Conv(self.skip_channels, (1, 1), dtype=self.dtype)(x1)
             x1 = bilinear_resize(x1, (x1.shape[1] * 2, x1.shape[2] * 2))

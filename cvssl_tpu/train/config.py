@@ -56,7 +56,12 @@ class TrainConfig:
     # engine
     device_data: bool = True           # 2D: dataset resident in HBM,
                                        # augmentation jitted into the step
-    fused_loss: bool = True            # Pallas fused Dice+CE on TPU
+    # Pallas fused Dice+CE on TPU. None = auto: ON except when the step
+    # runs s2d grouped-logits losses (s2d_loss_on()) — there the kernel's
+    # (N, C) boundary layout copies cost MORE than the fusion saves
+    # (device trace: unfused 24.2 vs fused 25.9 ms/step at the bench
+    # config; scripts/probe_grad_profile.py fused_loss=0).
+    fused_loss: Optional[bool] = None
     scan_steps: int = 1                # >1: fuse K train steps into one XLA
                                        # program (lax.scan; store path only)
     log_every: int = 20
@@ -166,6 +171,12 @@ class TrainConfig:
     # axis -1, no spatial ops on logits) — safe under the s2d grouped view
     S2D_LOSS_METHODS = ("supervised", "mean_teacher", "uamt", "cps", "ict",
                         "fixmatch")
+
+    def fused_loss_on(self) -> bool:
+        """Resolve the ``fused_loss`` tri-state (see the field comment)."""
+        if self.fused_loss is None:
+            return not self.s2d_loss_on()
+        return bool(self.fused_loss)
 
     def s2d_loss_on(self) -> bool:
         """Whether the train step runs losses in the s2d grouped-logits

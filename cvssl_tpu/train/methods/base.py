@@ -109,8 +109,11 @@ class Method:
             b, hh, ww, g, c = logits.shape
             logits = logits.reshape(b, hh, ww * g, c)
             label = label.reshape(b, hh, ww * g)
+        fused = (self.cfg.fused_loss_on()
+                 if hasattr(self.cfg, "fused_loss_on")
+                 else getattr(self.cfg, "fused_loss", False))
         return losses.ce_dice(logits, label, self.cfg.num_classes,
-                              fused=getattr(self.cfg, "fused_loss", False))
+                              fused=fused)
 
 
 def split_batch(cfg, batch):

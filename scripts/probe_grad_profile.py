@@ -21,10 +21,17 @@ def main():
     from cvssl_tpu.train.engine import Engine
 
     batch = 24
+    # extra args: key=value TrainConfig overrides (int/str), e.g.
+    # fused_loss=0 s2d_loss=off
+    over = {}
+    for kv in sys.argv[1:]:
+        k, _, v = kv.partition("=")
+        over[k] = int(v) if v.lstrip("-").isdigit() else v
     cfg = TrainConfig(method="mean_teacher", model="unet", num_classes=4,
                       batch_size=batch, labeled_bs=12,
                       patch_size=(256, 256), num_devices=None,
-                      labeled_slices_override=12)
+                      labeled_slices_override=12, **over)
+    print("overrides:", over)
     engine = Engine(cfg)
     rng = np.random.default_rng(0)
     b = {"image": rng.normal(size=(batch, 256, 256, 1)).astype(np.float32),

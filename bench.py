@@ -244,6 +244,7 @@ if __name__ == "__main__":
                      "bench_uamt_3d"):
             cmd = (f"import json, bench; r = bench.{name}(); "
                    "print('RESULT:' + json.dumps(r))")
+            out = None
             try:
                 out = subprocess.run(
                     [sys.executable, "-c", cmd], capture_output=True,
@@ -252,9 +253,14 @@ if __name__ == "__main__":
                 line = [ln for ln in out.stdout.splitlines()
                         if ln.startswith("RESULT:")][-1]
                 extras.append(json.loads(line[len("RESULT:"):]))
-            except Exception as e:  # record, keep benching
-                extras.append({"metric": name, "error": repr(e)})
+            except Exception as e:  # record the CHILD's failure, not ours
+                tail = (out.stderr.strip().splitlines()[-12:]
+                        if out is not None and out.stderr else [repr(e)])
+                extras.append({"metric": name, "error": repr(e),
+                               "stderr_tail": tail})
                 print(f"{name} failed: {e!r}", file=sys.stderr)
+                for ln in tail:
+                    print(f"  {ln}", file=sys.stderr)
         for rec in extras:
             print(json.dumps(rec), file=sys.stderr)
         with open(EXTRA_PATH, "w") as f:

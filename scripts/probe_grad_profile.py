@@ -20,22 +20,27 @@ def main():
     from cvssl_tpu.train.config import TrainConfig
     from cvssl_tpu.train.engine import Engine
 
-    batch = 24
     # extra args: key=value TrainConfig overrides (int/str), e.g.
-    # fused_loss=0 s2d_loss=off
+    # fused_loss=0 s2d_loss=off method=cross_teaching model2=ViT_Seg
+    # batch_size=16 patch=224
     over = {}
     for kv in sys.argv[1:]:
         k, _, v = kv.partition("=")
         over[k] = int(v) if v.lstrip("-").isdigit() else v
-    cfg = TrainConfig(method="mean_teacher", model="unet", num_classes=4,
-                      batch_size=batch, labeled_bs=12,
-                      patch_size=(256, 256), num_devices=None,
-                      labeled_slices_override=12, **over)
-    print("overrides:", over)
+    patch = over.pop("patch", 256)
+    base = dict(method="mean_teacher", model="unet", num_classes=4,
+                batch_size=24, labeled_bs=12, num_devices=None)
+    base.update(over)
+    batch = base["batch_size"]
+    base.setdefault("labeled_slices_override", base["labeled_bs"])
+    cfg = TrainConfig(patch_size=(patch, patch), **base)
+    print("config:", {**over, "patch": patch})
     engine = Engine(cfg)
     rng = np.random.default_rng(0)
-    b = {"image": rng.normal(size=(batch, 256, 256, 1)).astype(np.float32),
-         "label": rng.integers(0, 4, (batch, 256, 256)).astype(np.int32),
+    b = {"image": rng.normal(
+             size=(batch, patch, patch, 1)).astype(np.float32),
+         "label": rng.integers(
+             0, 4, (batch, patch, patch)).astype(np.int32),
          "idx": np.arange(batch, dtype=np.int32)}
     state = engine.init_state(jax.random.PRNGKey(0), b)
     state, m = engine.train_steps_fixed(state, b, 10)

@@ -18,57 +18,147 @@ def _resize_trilinear(x, dhw):
     return jax.image.resize(x, (b, *dhw, c), "trilinear")
 
 
-class GridAttentionBlock3D(nn.Module):
-    """'concatenation' grid attention (``grid_attention_layer.py:84-107``):
-    theta(x) strided + phi(g) upsampled -> relu -> psi -> sigmoid -> upsample
-    -> gate x; output transform W = conv1 + BatchNorm."""
+def _resize_nd(x, spatial):
+    """bilinear (2D) / trilinear (3D) resize of an N{2,3}C tensor."""
+    b, c = x.shape[0], x.shape[-1]
+    method = "trilinear" if len(spatial) == 3 else "bilinear"
+    return jax.image.resize(x, (b, *spatial, c), method)
+
+
+_MODES = ("concatenation", "concatenation_debug", "concatenation_residual")
+
+
+class _GridAttentionND(nn.Module):
+    """``_GridAttentionBlockND`` (``grid_attention_layer.py:7-159``), 2D/3D
+    by input rank. Modes: 'concatenation' (relu -> psi -> sigmoid),
+    'concatenation_debug' (softplus instead of relu, :111-133), and
+    'concatenation_residual' (softmax over space instead of sigmoid,
+    :136-159)."""
     in_channels: int
     inter_channels: int
     sub_sample: int = 2
+    mode: str = "concatenation"
 
     @nn.compact
     def __call__(self, x, g, *, train: bool = False):
-        s = self.sub_sample
-        theta_x = nn.Conv(self.inter_channels, (s, s, s), strides=s,
-                          padding=0, use_bias=False)(x)
-        phi_g = nn.Conv(self.inter_channels, (1, 1, 1))(g)
-        phi_g = _resize_trilinear(phi_g, theta_x.shape[1:4])
-        f = nn.relu(theta_x + phi_g)
-        att = jax.nn.sigmoid(nn.Conv(1, (1, 1, 1))(f))
-        att = _resize_trilinear(att, x.shape[1:4])
+        assert self.mode in _MODES, self.mode
+        nd = x.ndim - 2
+        s = (self.sub_sample,) * nd
+        ones = (1,) * nd
+        theta_x = nn.Conv(self.inter_channels, s, strides=s,
+                          padding=0, use_bias=False, name="theta")(x)
+        phi_g = nn.Conv(self.inter_channels, ones, name="phi")(g)
+        phi_g = _resize_nd(phi_g, theta_x.shape[1:-1])
+        add = theta_x + phi_g
+        f = jax.nn.softplus(add) if self.mode == "concatenation_debug" \
+            else nn.relu(add)
+        psi_f = nn.Conv(1, ones, name="psi")(f)
+        if self.mode == "concatenation_residual":
+            b = psi_f.shape[0]
+            att = jax.nn.softmax(
+                psi_f.reshape(b, -1), axis=-1).reshape(psi_f.shape)
+        else:
+            att = jax.nn.sigmoid(psi_f)
+        att = _resize_nd(att, x.shape[1:-1])
         y = att * x
-        w = nn.Conv(self.in_channels, (1, 1, 1))(y)
+        w = nn.Conv(self.in_channels, ones, name="W")(y)
         w = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(w)
+                         epsilon=1e-5, name="W_bn")(w)
         return w, att
 
 
-class GridAttentionBlock2D(nn.Module):
-    """2D 'concatenation' grid attention (``grid_attention_layer.py:
-    162-171`` — the dimension=2 instantiation of ``_GridAttentionBlockND``;
-    unused by any reference trainer but part of the public surface).
-    x (B, H, W, C); g (B, Hg, Wg, Cg)."""
+class GridAttentionBlock3D(_GridAttentionND):
+    """3D instantiation (``grid_attention_layer.py:173-183``)."""
+
+
+class GridAttentionBlock2D(_GridAttentionND):
+    """2D instantiation (``grid_attention_layer.py:162-171`` — unused by any
+    reference trainer but part of the public surface). x (B, H, W, C)."""
+
+
+_TORR_MODES = ("concatenation", "concatenation_softmax",
+               "concatenation_sigmoid", "concatenation_mean",
+               "concatenation_range_normalise", "concatenation_mean_flow")
+
+
+class _GridAttentionNDTORR(nn.Module):
+    """``_GridAttentionBlockND_TORR`` (``grid_attention_layer.py:176-390``):
+    the ablation-friendly gate — theta/phi/psi/W individually toggleable
+    (identity when off), six score-normalisation modes, psi-bias warm starts
+    (3.0 sigmoid / 10.0 softmax, :265-270), default sub_sample 1."""
     in_channels: int
     inter_channels: int
-    sub_sample: int = 2
+    sub_sample: int = 1
+    mode: str = "concatenation_sigmoid"
+    bn_layer: bool = True
+    use_w: bool = True
+    use_phi: bool = True
+    use_theta: bool = True
+    use_psi: bool = True
+    nonlinearity1: str = "relu"
 
     @nn.compact
     def __call__(self, x, g, *, train: bool = False):
-        s = self.sub_sample
-        theta_x = nn.Conv(self.inter_channels, (s, s), strides=s,
-                          padding=0, use_bias=False)(x)
-        phi_g = nn.Conv(self.inter_channels, (1, 1))(g)
-        b, h, w, c = theta_x.shape
-        phi_g = jax.image.resize(phi_g, (b, h, w, c), "bilinear")
-        f = nn.relu(theta_x + phi_g)
-        att = jax.nn.sigmoid(nn.Conv(1, (1, 1))(f))
-        att = jax.image.resize(att, (x.shape[0], x.shape[1], x.shape[2], 1),
-                               "bilinear")
+        assert self.mode in _TORR_MODES, self.mode
+        nd = x.ndim - 2
+        s = (self.sub_sample,) * nd
+        ones = (1,) * nd
+
+        theta_x = nn.Conv(self.inter_channels, s, strides=s, padding=0,
+                          use_bias=False, name="theta")(x) \
+            if self.use_theta else x
+        phi_g = nn.Conv(self.inter_channels, s, strides=s, padding=0,
+                        use_bias=False, name="phi")(g) if self.use_phi else g
+        phi_g = _resize_nd(phi_g, theta_x.shape[1:-1])
+
+        f = theta_x + phi_g
+        if self.nonlinearity1 == "relu":
+            f = nn.relu(f)
+
+        if self.use_psi:
+            bias_init = {"concatenation_sigmoid": 3.0,
+                         "concatenation_softmax": 10.0}.get(self.mode, 0.0)
+            psi_f = nn.Conv(
+                1, ones, name="psi",
+                bias_init=nn.initializers.constant(bias_init))(f)
+        else:
+            psi_f = f
+
+        b = psi_f.shape[0]
+        flat = psi_f.reshape(b, -1)
+        if self.mode == "concatenation_softmax":
+            att = jax.nn.softmax(flat, axis=-1)
+        elif self.mode == "concatenation_mean":
+            att = flat / jnp.sum(flat, axis=-1, keepdims=True)
+        elif self.mode == "concatenation_mean_flow":
+            shifted = flat - jnp.min(flat, axis=-1, keepdims=True)
+            att = shifted / jnp.sum(shifted, axis=-1, keepdims=True)
+        elif self.mode == "concatenation_range_normalise":
+            lo = jnp.min(flat, axis=-1, keepdims=True)
+            hi = jnp.max(flat, axis=-1, keepdims=True)
+            att = (flat - lo) / (hi - lo)
+        else:  # 'concatenation' / 'concatenation_sigmoid' -> sigmoid
+            att = jax.nn.sigmoid(flat)
+        att = att.reshape(psi_f.shape)
+
+        att = _resize_nd(att, x.shape[1:-1])
         y = att * x
-        out = nn.Conv(self.in_channels, (1, 1))(y)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5)(out)
-        return out, att
+        if self.use_w:
+            w = nn.Conv(self.in_channels, ones, name="W")(y)
+            if self.bn_layer:
+                w = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name="W_bn")(w)
+        else:
+            w = y
+        return w, att
+
+
+class GridAttentionBlock2DTORR(_GridAttentionNDTORR):
+    """(``grid_attention_layer.py:362-378``)"""
+
+
+class GridAttentionBlock3DTORR(_GridAttentionNDTORR):
+    """(``grid_attention_layer.py:381-390``)"""
 
 
 class MultiAttentionBlock(nn.Module):

@@ -231,8 +231,32 @@ def bench_uamt_3d():
     return rec
 
 
+def _watchdog(seconds: int):
+    """The axon tunnel's failure mode is a HANG (jax.devices() blocks
+    forever — observed >2h on 2026-08-17), not an error. A hung bench.py
+    would stall the driver indefinitely, so after ``seconds`` with no
+    result we print an honest failure JSON line and hard-exit."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "acdc_mean_teacher_train_slices_per_sec_per_chip",
+            "value": 0.0, "unit": "slices/sec/chip", "vs_baseline": 0.0,
+            "error": f"TPU backend unreachable for {seconds}s "
+                     "(tunnel hang) — benchmark could not run"}),
+            flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
+    wd = _watchdog(1800)
     main()
+    wd.cancel()
     if "--full" in sys.argv:
         # each extra runs in a FRESH process: sharing one process measurably
         # contaminates later benches (uamt3d measured 5.1 vol/s after three

@@ -85,7 +85,12 @@ class _GridAttentionNDTORR(nn.Module):
     """``_GridAttentionBlockND_TORR`` (``grid_attention_layer.py:176-390``):
     the ablation-friendly gate — theta/phi/psi/W individually toggleable
     (identity when off), six score-normalisation modes, psi-bias warm starts
-    (3.0 sigmoid / 10.0 softmax, :265-270), default sub_sample 1."""
+    (3.0 sigmoid / 10.0 softmax, :265-270), default sub_sample 1.
+
+    Documented fix: upstream accepts mode='concatenation' in __init__ but
+    its normalisation chain raises NotImplementedError at forward (:355);
+    here it behaves as 'concatenation_sigmoid' (the base variant's
+    normalisation) instead of crashing."""
     in_channels: int
     inter_channels: int
     sub_sample: int = 1

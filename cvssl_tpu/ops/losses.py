@@ -77,12 +77,14 @@ def dice_loss(inputs: jnp.ndarray, target: jnp.ndarray, num_classes: int,
     if softmax:
         inputs = jax.nn.softmax(inputs, axis=axis)
     tgt = one_hot(target, num_classes, axis=axis)
-    # Move class axis to front -> (C, ...) then reduce everything else.
-    inputs_c = jnp.moveaxis(inputs, axis, 0).reshape(num_classes, -1)
-    tgt_c = jnp.moveaxis(tgt, axis, 0).reshape(num_classes, -1)
-    intersect = jnp.sum(inputs_c * tgt_c, axis=1)
-    z_sum = jnp.sum(inputs_c * inputs_c, axis=1)
-    y_sum = jnp.sum(tgt_c * tgt_c, axis=1)
+    # Reduce every axis EXCEPT the class axis in place — a reduction needs
+    # no relayout, whereas moveaxis(class, 0) materializes a transposed
+    # copy on TPU (part of the ~1.5 ms/step "loss reshapes" bucket in the
+    # device trace). Same sums, same math.
+    red = tuple(i for i in range(inputs.ndim) if i != axis % inputs.ndim)
+    intersect = jnp.sum(inputs * tgt, axis=red)
+    z_sum = jnp.sum(inputs * inputs, axis=red)
+    y_sum = jnp.sum(tgt * tgt, axis=red)
     per_class = 1.0 - (2.0 * intersect + smooth) / (z_sum + y_sum + smooth)
     if weight is not None:
         per_class = per_class * jnp.asarray(weight, dtype=jnp.float32)
@@ -97,12 +99,14 @@ def softmax_dice_loss(input_logits: jnp.ndarray, target_logits: jnp.ndarray,
     input_soft = jax.nn.softmax(input_logits.astype(jnp.float32), axis=axis)
     target_soft = jax.lax.stop_gradient(
         jax.nn.softmax(target_logits.astype(jnp.float32), axis=axis))
-    in_c = jnp.moveaxis(input_soft, axis, 0).reshape(n, -1)
-    tg_c = jnp.moveaxis(target_soft, axis, 0).reshape(n, -1)
+    # per-class reduction without the moveaxis transpose (see dice_loss)
+    red = tuple(i for i in range(input_soft.ndim)
+                if i != axis % input_soft.ndim)
     smooth = 1e-5
-    intersect = jnp.sum(in_c * tg_c, axis=1)
+    intersect = jnp.sum(input_soft * target_soft, axis=red)
     dice = 1.0 - (2.0 * intersect + smooth) / (
-        jnp.sum(in_c, axis=1) + jnp.sum(tg_c, axis=1) + smooth)
+        jnp.sum(input_soft, axis=red) + jnp.sum(target_soft, axis=red)
+        + smooth)
     return jnp.sum(dice) / n
 
 

@@ -102,16 +102,19 @@ class Method:
         ingredients. Routes through the Pallas fused single-HBM-sweep
         kernel when ``cfg.fused_loss`` (TPU only; identical numerics)."""
         from cvssl_tpu.ops import losses
-        if logits.ndim == 5 and label.ndim == 4 and self.cfg.dim == 2:
-            # grouped s2d logits (B, HH, WW, 4, C) — flatten the sub-pos
-            # axis into W (contiguous, free): per-pixel losses are
-            # invariant and the Pallas fused path's 2D gate applies
-            b, hh, ww, g, c = logits.shape
-            logits = logits.reshape(b, hh, ww * g, c)
-            label = label.reshape(b, hh, ww * g)
         fused = (self.cfg.fused_loss_on()
                  if hasattr(self.cfg, "fused_loss_on")
                  else getattr(self.cfg, "fused_loss", False))
+        if fused and logits.ndim == 5 and label.ndim == 4 \
+                and self.cfg.dim == 2:
+            # grouped s2d logits (B, HH, WW, 4, C): the Pallas fused kernel
+            # needs <=4D, so flatten the sub-pos axis into W (contiguous —
+            # per-pixel losses are invariant). The unfused path consumes
+            # the 5D view directly (cross_entropy/dice_loss are
+            # rank-generic reductions), avoiding the retiling reshape.
+            b, hh, ww, g, c = logits.shape
+            logits = logits.reshape(b, hh, ww * g, c)
+            label = label.reshape(b, hh, ww * g)
         return losses.ce_dice(logits, label, self.cfg.num_classes,
                               fused=fused)
 

@@ -47,6 +47,34 @@ def _batch(rng, b=8, size=64):
             "label_aug": lab, "idx": np.arange(b, dtype=np.int32)}
 
 
+def test_sup_ce_dice_5d_grouped_equals_flat_and_d2s():
+    """Method.sup_ce_dice on the raw 5D grouped view must equal both the
+    flattened (B, HH, WW*4, C) view and the original depth_to_space layout
+    (per-pixel losses are permutation-invariant)."""
+    from cvssl_tpu.train.methods.base import Method
+
+    cfg = TrainConfig(num_classes=4, dim=2, fused_loss=False)
+    m = Method(cfg)
+    rng = np.random.default_rng(3)
+    grouped = jnp.asarray(
+        rng.normal(size=(2, 8, 8, 4, 4)).astype(np.float32))
+    lab_g = jnp.asarray(rng.integers(0, 4, (2, 8, 8, 4)).astype(np.int32))
+    ce5, dice5 = m.sup_ce_dice(grouped, lab_g)
+    ce4, dice4 = m.sup_ce_dice(grouped.reshape(2, 8, 32, 4),
+                               lab_g.reshape(2, 8, 32))
+    # original-layout: grouped (B,HH,WW,g,C) == depth_to_space of
+    # (B,HH,WW,g*C) (test_grouped_logits_match_depth_to_space_view)
+    full = s2d.depth_to_space(grouped.reshape(2, 8, 8, 16))
+    lab_full = jnp.zeros((2, 16, 16), jnp.int32)
+    for a in range(2):
+        for b in range(2):
+            lab_full = lab_full.at[:, a::2, b::2].set(
+                np.asarray(lab_g[..., a * 2 + b]))
+    ce_f, dice_f = m.sup_ce_dice(full, lab_full)
+    for x, y in [(ce5, ce4), (dice5, dice4), (ce5, ce_f), (dice5, dice_f)]:
+        np.testing.assert_allclose(float(x), float(y), rtol=1e-6, atol=1e-6)
+
+
 # uamt/ict are whitelisted too but exercise the same per-pixel loss ops as
 # mean_teacher (their extra logit uses — MC reshape over leading axes,
 # mixup on inputs — don't touch the spatial layout); kept out of the

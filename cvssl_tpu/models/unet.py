@@ -366,6 +366,10 @@ class Decoder(nn.Module):
     bilinear: bool = True
     s2d_levels: int = 0
     s2d_logits: bool = False  # emit grouped s2d logits (B, HH, WW, 4, C)
+    logits_f32: bool = True   # False: return logits in compute dtype (train
+    # step only — every train-loss consumer casts to f32 at entry, so values
+    # are bit-identical, but the materialized f32 relayout of the largest
+    # activation is skipped; eval paths keep the f32 contract)
     dtype: Any = None
 
     @nn.compact
@@ -395,7 +399,7 @@ class Decoder(nn.Module):
                 out = s2d_ops.depth_to_space(out)
         else:
             out = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=dt)(x)
-        return out.astype(jnp.float32)
+        return out.astype(jnp.float32) if self.logits_f32 else out
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +450,7 @@ class UNet(nn.Module):
     s2d_logits: bool = False  # grouped (B, H/2, W/2, 4, C) logits — pair
     # with ops.s2d.space_to_depth_labels; train-step only (eval code
     # expects original layout)
+    logits_f32: bool = True   # see Decoder.logits_f32
     dtype: Any = None
 
     @nn.compact
@@ -459,6 +464,7 @@ class UNet(nn.Module):
         return Decoder(self.num_classes, self.features, self.bilinear,
                        s2d_levels=self.s2d_levels,
                        s2d_logits=self.s2d_logits and self.s2d_levels >= 1,
+                       logits_f32=self.logits_f32,
                        dtype=self.dtype)(feats, train=train)
 
 

@@ -144,8 +144,13 @@ class Engine:
         if s2d_loss:
             # train forwards emit grouped s2d logits (no depth_to_space —
             # see TrainConfig.s2d_loss); identical params, different output
-            # VIEW, so the same state drives eval in original layout
-            modules = {n: m.clone(s2d_logits=True)
+            # VIEW, so the same state drives eval in original layout.
+            # logits_f32=False additionally keeps the logits in compute
+            # dtype — every train-loss consumer casts to f32 at entry
+            # (ops/losses.py + every method body), so values are
+            # bit-identical while the materialized f32 relayout of the
+            # largest activation (and its backward mirror) disappears.
+            modules = {n: m.clone(s2d_logits=True, logits_f32=False)
                        for n, m in modules.items()}
 
         def make_ctx(params, state, batch_stats, rng):

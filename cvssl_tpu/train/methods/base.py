@@ -115,6 +115,11 @@ class Method:
             b, hh, ww, g, c = logits.shape
             logits = logits.reshape(b, hh, ww * g, c)
             label = label.reshape(b, hh, ww * g)
+        if fused:
+            # the Pallas kernel's numerics contract is f32 input (the
+            # unfused path casts inside each loss); exact no-op when the
+            # model already emits f32
+            logits = logits.astype(jnp.float32)
         return losses.ce_dice(logits, label, self.cfg.num_classes,
                               fused=fused)
 

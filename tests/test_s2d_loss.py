@@ -75,6 +75,33 @@ def test_sup_ce_dice_5d_grouped_equals_flat_and_d2s():
         np.testing.assert_allclose(float(x), float(y), rtol=1e-6, atol=1e-6)
 
 
+def test_logits_f32_false_bitwise_identical_losses():
+    """A bf16 UNet with logits_f32=False returns compute-dtype logits; every
+    train-loss consumer casts to f32 at entry, so CE/dice/softmax-MSE are
+    BIT-identical to the logits_f32=True output (bf16->f32 is exact)."""
+    from cvssl_tpu.models.unet import UNet
+    from cvssl_tpu.ops import losses
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 4, (2, 16, 16, 4)).astype(np.int32))
+    kw = dict(in_chns=1, num_classes=4, s2d_levels=2, s2d_logits=True,
+              dtype=jnp.bfloat16)
+    m32 = UNet(**kw, logits_f32=True)
+    m16 = UNet(**kw, logits_f32=False)
+    v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out32 = m32.apply(v, x, train=False)
+    out16 = m16.apply(v, x, train=False)
+    assert out32.dtype == jnp.float32 and out16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out32),
+                                  np.asarray(out16.astype(jnp.float32)))
+    for f in (lambda o: losses.cross_entropy(o, lab),
+              lambda o: losses.dice_loss(o, lab, 4, softmax=True),
+              lambda o: jnp.mean(losses.softmax_mse_loss(o, out32))):
+        np.testing.assert_array_equal(np.asarray(f(out32)),
+                                      np.asarray(f(out16)))
+
+
 # uamt/ict are whitelisted too but exercise the same per-pixel loss ops as
 # mean_teacher (their extra logit uses — MC reshape over leading axes,
 # mixup on inputs — don't touch the spatial layout); kept out of the

@@ -148,7 +148,14 @@ class UNet3D(nn.Module):
     num_classes: int = 2
     feature_scale: int = 4
     s2d_levels: int = 0
+    logits_f32: bool = True  # False: logits in compute dtype (train step
+    # only — all train-loss consumers cast to f32 at entry, values
+    # bit-identical; halves the HBM bytes of UAMT's (T*u, D, H, W, C)
+    # MC-teacher logit tensor). Eval keeps the f32 contract.
     dtype: Any = None
+
+    def _cast_out(self, out):
+        return out.astype(jnp.float32) if self.logits_f32 else out
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -189,7 +196,7 @@ class UNet3D(nn.Module):
         k, b = ConvW(self.num_classes, (1, 1, 1), f[0], name="Conv_0")()
         out = s2d_ops.conv1x1(up1, k.reshape(f[0], self.num_classes), b,
                               dtype=dt)
-        return s2d_ops.depth_to_space3d(out).astype(jnp.float32)
+        return self._cast_out(s2d_ops.depth_to_space3d(out))
 
     def _call_native(self, x, f, train):
         dt = self.dtype
@@ -209,7 +216,7 @@ class UNet3D(nn.Module):
         up1 = UnetUp3CT(f[0], dtype=dt)(conv1, up2, train=train)
         up1 = nn.Dropout(0.3, deterministic=not train)(up1)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=dt)(up1)
-        return out.astype(jnp.float32)
+        return self._cast_out(out)
 
 
 class UnetDsv3(nn.Module):

@@ -152,6 +152,15 @@ class Engine:
             # largest activation (and its backward mirror) disappears.
             modules = {n: m.clone(s2d_logits=True, logits_f32=False)
                        for n, m in modules.items()}
+        elif cfg.method in cfg.S2D_LOSS_METHODS:
+            # same bit-identical-consumers argument without the s2d view
+            # (covers 3D UAMT, where the (T*u, D, H, W, C) MC-teacher logit
+            # tensor halves its HBM bytes in bf16); only models that expose
+            # the knob (plain UNet/UNet3D) are touched
+            modules = {n: (m.clone(logits_f32=False)
+                           if "logits_f32" in getattr(
+                               m, "__dataclass_fields__", {}) else m)
+                       for n, m in modules.items()}
 
         def make_ctx(params, state, batch_stats, rng):
             return StepCtx(cfg, modules, params, batch_stats,

@@ -102,6 +102,29 @@ def test_logits_f32_false_bitwise_identical_losses():
                                       np.asarray(f(out16)))
 
 
+def test_logits_f32_false_unet3d():
+    """UNet3D with logits_f32=False: compute-dtype logits, bit-identical
+    losses after the consumer-side f32 cast (covers the UAMT-3D MC path)."""
+    from cvssl_tpu.models.unet3d import UNet3D
+    from cvssl_tpu.ops import losses
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 2, (1, 16, 16, 16)).astype(np.int32))
+    kw = dict(in_chns=1, num_classes=2, dtype=jnp.bfloat16)
+    m32 = UNet3D(**kw, logits_f32=True)
+    m16 = UNet3D(**kw, logits_f32=False)
+    v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out32 = m32.apply(v, x, train=False)
+    out16 = m16.apply(v, x, train=False)
+    assert out32.dtype == jnp.float32 and out16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out32),
+                                  np.asarray(out16.astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(losses.cross_entropy(out32, lab)),
+        np.asarray(losses.cross_entropy(out16, lab)))
+
+
 # uamt/ict are whitelisted too but exercise the same per-pixel loss ops as
 # mean_teacher (their extra logit uses — MC reshape over leading axes,
 # mixup on inputs — don't touch the spatial layout); kept out of the

@@ -1,16 +1,26 @@
 """Host -> device input pipeline.
 
 Replaces the reference's torch DataLoader(num_workers=16, pin_memory)
-(``train_fully_supervised_2D.py:84-85``) with a thread-pool loader + collate
-to channels-last numpy batches + background prefetch, keeping the TPU fed
-while augmentation runs on host CPU.
+(``train_fully_supervised_2D.py:84-85``) with sequential sample loading in
+a background prefetch thread + collate to channels-last numpy batches —
+the prefetch overlaps host augmentation with device compute, which is the
+part that keeps the TPU fed.
+
+Samples within a batch are loaded SEQUENTIALLY, on purpose: dataset
+transforms hold one stateful ``np.random.Generator``, and a thread-pool
+loader (the original design) let worker interleaving shuffle which sample
+consumed which draws — measurably nondeterministic batches run-to-run
+(hash test in tests/test_data.py::test_pipeline_deterministic), which
+broke trajectory reproducibility (the mean-teacher fit-parity flake).
+Determinism is a design invariant here (CLAUDE.md); the reference's torch
+loader has the same per-worker-seed subtlety, handled there by
+``worker_init_fn`` (``train_fully_supervised_2D.py:87-89``).
 """
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
@@ -38,33 +48,27 @@ def collate(samples: list[dict]) -> dict:
 
 
 class DataPipeline:
-    """Iterate batches from (dataset, batch_sampler) with parallel sample
-    loading and background prefetch."""
+    """Iterate batches from (dataset, batch_sampler); ``stream()`` adds
+    background prefetch. ``num_workers`` is kept for API compatibility but
+    loading is sequential (see module docstring: determinism)."""
 
     def __init__(self, dataset, batch_sampler, num_workers: int = 8,
                  prefetch: int = 4):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
-        self.num_workers = max(1, num_workers)
+        self.num_workers = max(1, num_workers)  # unused; see docstring
         self.prefetch = prefetch
-        self._pool: Optional[ThreadPoolExecutor] = None
 
     def _load_batch(self, indices) -> dict:
-        if self._pool is None:
-            samples = [self.dataset[i] for i in indices]
-        else:
-            samples = list(self._pool.map(self.dataset.__getitem__, indices))
-        return collate(samples)
+        return collate([self.dataset[i] for i in indices])
 
     def __iter__(self) -> Iterator[dict]:
         """One epoch of batches (no prefetch; use ``stream`` for training)."""
-        self._pool = self._pool or ThreadPoolExecutor(self.num_workers)
         for indices in self.batch_sampler:
             yield self._load_batch(indices)
 
     def stream(self) -> Iterator[dict]:
         """Infinite prefetched batch stream over sampler epochs."""
-        self._pool = self._pool or ThreadPoolExecutor(self.num_workers)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

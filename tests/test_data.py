@@ -200,6 +200,27 @@ class TestPipeline:
         assert all(b["image"].shape == (8, 32, 32, 1) for b in got)
         it.close()
 
+    def test_pipeline_deterministic(self, acdc_root):
+        """Two identically-seeded streams yield BYTE-identical batches.
+        Regression: the original thread-pool loader let worker interleaving
+        shuffle the shared transform Generator's draws between samples
+        (nondeterministic batches -> irreproducible trajectories; the
+        mean-teacher fit-parity flake)."""
+        def pull(n=12):
+            ds = SliceDataset(acdc_root, "train",
+                              transform=T.RandomGenerator(
+                                  (32, 32), np.random.default_rng(7)))
+            pipe = DataPipeline(ds, ShuffleBatchSampler(
+                len(ds), 8, np.random.default_rng(7)))
+            it = pipe.stream()
+            out = [next(it) for _ in range(n)]
+            it.close()
+            return out
+
+        for a, b in zip(pull(), pull()):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+
     def test_two_stream_with_pipeline(self, acdc_root):
         ds = SliceDataset(acdc_root, "train",
                           transform=T.RandomGenerator((32, 32),

@@ -149,7 +149,12 @@ def _run_ours(root, method):
             dices.append(float(perf[:, 0].mean()))
     # mean over the val points — a single steep-curve sample has ~0.1+
     # run-to-run spread on this tiny synthetic task
+    global _LAST_VAL_POINTS
+    _LAST_VAL_POINTS = list(dices)  # diagnostics (scripts/parity_trajectory)
     return curves, float(np.mean(dices))
+
+
+_LAST_VAL_POINTS: list = []
 
 
 def _late_mean(values, frac=0.5):

@@ -255,8 +255,16 @@ def _watchdog(seconds: int):
 
 if __name__ == "__main__":
     wd = _watchdog(1800)
-    main()
-    wd.cancel()
+    try:
+        main()
+    except Exception as e:  # e.g. jax Unavailable when the tunnel is down
+        print(json.dumps({
+            "metric": "acdc_mean_teacher_train_slices_per_sec_per_chip",
+            "value": 0.0, "unit": "slices/sec/chip", "vs_baseline": 0.0,
+            "error": f"benchmark failed: {e!r}"}), flush=True)
+        raise
+    finally:
+        wd.cancel()
     if "--full" in sys.argv:
         # each extra runs in a FRESH process: sharing one process measurably
         # contaminates later benches (uamt3d measured 5.1 vol/s after three

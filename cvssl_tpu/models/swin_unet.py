@@ -268,6 +268,10 @@ class SwinUnet(nn.Module):
     patch_norm: bool = True
     use_checkpoint: bool = False  # remat blocks (reference use_checkpoint,
                                   # vision_transformer.py:46)
+    logits_f32: bool = True       # False: logits in compute dtype (train
+    # step only — every train-loss consumer casts to f32 at entry, so
+    # values are bit-identical; skips materializing the f32 logit map).
+    # Eval paths keep the f32 contract.
     dtype: Any = None             # bf16 compute (params/softmax/logits f32)
 
     def _block(self, **kw):
@@ -347,4 +351,4 @@ class SwinUnet(nn.Module):
                                name="final_up")(x)
         out = nn.Conv(self.num_classes, (1, 1), use_bias=False,
                       dtype=self.dtype, name="output")(x)
-        return out.astype(jnp.float32)
+        return out.astype(jnp.float32) if self.logits_f32 else out

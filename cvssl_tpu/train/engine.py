@@ -152,11 +152,15 @@ class Engine:
             # largest activation (and its backward mirror) disappears.
             modules = {n: m.clone(s2d_logits=True, logits_f32=False)
                        for n, m in modules.items()}
-        elif cfg.method in cfg.S2D_LOSS_METHODS:
-            # same bit-identical-consumers argument without the s2d view
-            # (covers 3D UAMT, where the (T*u, D, H, W, C) MC-teacher logit
-            # tensor halves its HBM bytes in bf16); only models that expose
-            # the knob (plain UNet/UNet3D) are touched
+        else:
+            # same bit-identical-consumers argument without the s2d view:
+            # EVERY method's logit consumers cast to f32 at entry (audited:
+            # ops/losses.py entry points, all method softmax/CE/MSE sites,
+            # and projector Dense whose flax dtype promotion is the same
+            # exact bf16->f32 cast). Covers 3D UAMT — the (T*u, D, H, W, C)
+            # MC-teacher logit tensor halves its HBM bytes — and the
+            # cross-teaching SwinUnet slot. Only models that expose the
+            # knob (UNet/UNet3D/SwinUnet) are touched.
             modules = {n: (m.clone(logits_f32=False)
                            if "logits_f32" in getattr(
                                m, "__dataclass_fields__", {}) else m)

@@ -102,6 +102,30 @@ def test_logits_f32_false_bitwise_identical_losses():
                                       np.asarray(f(out16)))
 
 
+def test_logits_f32_false_swin():
+    """SwinUnet with logits_f32=False: compute-dtype logits, bit-identical
+    CE after the consumer-side cast (covers the cross-teaching ViT slot)."""
+    from cvssl_tpu.models.swin_unet import SwinUnet
+    from cvssl_tpu.ops import losses
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 1)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 4, (1, 224, 224)).astype(np.int32))
+    kw = dict(num_classes=4, embed_dim=24, num_heads=(1, 2, 4, 8),
+              dtype=jnp.bfloat16)
+    m32 = SwinUnet(**kw, logits_f32=True)
+    m16 = SwinUnet(**kw, logits_f32=False)
+    v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out32 = m32.apply(v, x, train=False)
+    out16 = m16.apply(v, x, train=False)
+    assert out32.dtype == jnp.float32 and out16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out32),
+                                  np.asarray(out16.astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(losses.cross_entropy(out32, lab)),
+        np.asarray(losses.cross_entropy(out16, lab)))
+
+
 def test_logits_f32_false_unet3d():
     """UNet3D with logits_f32=False: compute-dtype logits, bit-identical
     losses after the consumer-side f32 cast (covers the UAMT-3D MC path)."""

@@ -3,7 +3,11 @@
 
 The reference's T=8 Monte-Carlo loop (4 sequential teacher forwards on
 repeat(2)-tiled batches, ``:160-172``) becomes ONE batched forward over a
-T-times-tiled unlabeled batch — same math, 1 XLA dispatch instead of 4+1.
+T-times-tiled unlabeled batch wherever that is exact (InstanceNorm /
+LayerNorm models — no cross-sample coupling). BatchNorm teachers (plain 2D
+UNet) keep the reference's per-pass batch statistics via a ``lax.scan``
+over the (T//2, 2u) pass groups — still one XLA program, math identical
+to the sequential loop (pinned by tests/test_grad_parity.py).
 """
 from __future__ import annotations
 
@@ -38,7 +42,8 @@ class UncertaintyAwareMeanTeacher(Method):
         tiled = jnp.tile(unlabeled_img, (T,) + (1,) * (unlabeled_img.ndim - 1))
         mc_noise = jnp.clip(
             0.1 * jax.random.normal(ctx.next_rng(), tiled.shape), -0.2, 0.2)
-        if self.cfg.dim == 3 and FUSE_TEACHER_3D:
+        has_bn = bool(ctx.teacher_stats.get("model"))
+        if self.cfg.dim == 3 and FUSE_TEACHER_3D and not has_bn:
             # 3D models normalize per sample (InstanceNorm), so the
             # consistency-target forward and the T MC passes fuse into ONE
             # (T+1)*u teacher batch — exactly the reference's 1 + T/2
@@ -46,10 +51,25 @@ class UncertaintyAwareMeanTeacher(Method):
             all_logits = self.primary_logits(ctx.forward_teacher(
                 "model", jnp.concatenate([ema_inputs, tiled + mc_noise])))
             ema_logits, mc_logits = all_logits[:u], all_logits[u:]
+        elif has_bn and T % 2 == 0:
+            # BatchNorm teachers (plain 2D UNet): the reference runs T//2
+            # sequential passes over the twice-repeated unlabeled batch
+            # (:163-172), so batch statistics are PER PASS over 2u samples.
+            # Row t*u+j of the reference's preds buffer comes from pass
+            # t//2 — exactly the (T//2, 2u) reshape of our T-tiled batch.
+            # A lax.scan over those groups reproduces the math exactly
+            # (one XLA program; running stats thread like torch buffers).
+            ema_logits = self.primary_logits(
+                ctx.forward_teacher("model", ema_inputs))
+            groups = (tiled + mc_noise).reshape(
+                (T // 2, 2 * u) + tiled.shape[1:])
+            mc = self.primary_logits(
+                ctx.forward_teacher_scan("model", groups))
+            mc_logits = mc.reshape((T * u,) + mc.shape[2:])
         else:
-            # 2D UNet teachers run BatchNorm in train mode: batching would
-            # change which batch statistics normalize each pass, so the
-            # two forwards stay separate for reference parity.
+            # stats-free teachers (LayerNorm SwinUnet, InstanceNorm) see no
+            # cross-sample coupling — one T*u batch is exactly the
+            # reference's sequential passes, fused onto the MXU.
             ema_logits = self.primary_logits(
                 ctx.forward_teacher("model", ema_inputs))
             mc_logits = self.primary_logits(

@@ -78,6 +78,45 @@ class StepCtx:
                           self.teacher_stats, x, train, extra_args)
         return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
 
+    def forward_teacher_scan(self, name, x_groups):
+        """Sequential per-group teacher forwards under stop_gradient — the
+        reference's Monte-Carlo loop of separate minibatch passes
+        (``train_uncertainty_aware_mean_teacher_2D.py:163-172``): BatchNorm
+        normalizes with PER-PASS batch statistics and the running stats
+        thread pass-to-pass (torch buffers self-update each call). One
+        ``lax.scan`` over the group axis keeps it a single XLA program.
+
+        ``x_groups``: (n_groups, group_batch, *spatial, C). Returns the
+        model output with the same two leading axes. Independent dropout
+        keys per group, like the reference's sequential calls."""
+        module = self.modules[name]
+        params = self.teacher_params[name]
+        n = x_groups.shape[0]
+        kd = jax.random.split(self.next_rng(), n)
+        kp = jax.random.split(self.next_rng(), n)
+        has_stats = name in self.teacher_stats and self.teacher_stats[name]
+
+        if has_stats:
+            def body(stats, inp):
+                xg, k1, k2 = inp
+                out, mut = module.apply(
+                    {"params": params, "batch_stats": stats}, xg,
+                    train=True, rngs={"dropout": k1, "perturb": k2},
+                    mutable=["batch_stats"])
+                return mut["batch_stats"], out
+            new_stats, outs = jax.lax.scan(
+                body, self.teacher_stats[name], (x_groups, kd, kp))
+            self.teacher_stats[name] = new_stats
+        else:
+            def body_nostats(carry, inp):
+                xg, k1, k2 = inp
+                out = module.apply({"params": params}, xg, train=True,
+                                   rngs={"dropout": k1, "perturb": k2})
+                return carry, out
+            _, outs = jax.lax.scan(body_nostats, jnp.zeros(()),
+                                   (x_groups, kd, kp))
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, outs)
+
     def consistency_weight(self):
         from cvssl_tpu.ops.ramps import consistency_weight
         return consistency_weight(self.step, self.cfg.consistency,

@@ -95,7 +95,8 @@ def _our_modules(names):
             for n in names}
 
 
-def _our_grads(method_name, modules, params, bstats, batch, cfg_kw=None):
+def _our_grads(method_name, modules, params, bstats, batch, cfg_kw=None,
+               teacher_params=None, teacher_bstats=None, step=None):
     """jax.grad of the ACTUAL Method.loss through a StepCtx — the same
     code path the engine traces."""
     import jax
@@ -115,8 +116,9 @@ def _our_grads(method_name, modules, params, bstats, batch, cfg_kw=None):
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     def loss_fn(p):
-        ctx = StepCtx(cfg, modules, p, bstats, {}, {},
-                      jax.random.PRNGKey(0), jnp.int32(STEP))
+        ctx = StepCtx(cfg, modules, p, bstats, teacher_params or {},
+                      teacher_bstats or {}, jax.random.PRNGKey(0),
+                      jnp.int32(STEP if step is None else step))
         ctx.extra = ()
         loss, metrics = method.loss(ctx, jbatch)
         return loss
@@ -166,6 +168,26 @@ def _batch(rng):
 def _nchw(x):
     import torch
     return torch.tensor(x[:, None])  # (B, 1, H, W)
+
+
+def _ctx_noise_keys(n):
+    """The first ``n`` keys StepCtx.next_rng hands out from the PRNGKey(0)
+    seed `_our_grads` uses — lets the torch side receive the EXACT noise
+    arrays the jax method will draw (input noise is data, not math, so
+    injecting it as a constant keeps the comparison honest)."""
+    import jax
+    key, out = jax.random.PRNGKey(0), []
+    for _ in range(n):
+        ks = jax.random.split(key, 2)
+        key, k = ks[0], ks[1]
+        out.append(k)
+    return out
+
+
+def _noise_to_torch(noise_j):
+    """(B, H, W, 1) jax noise -> (B, 1, H, W) torch constant."""
+    import torch
+    return torch.tensor(np.moveaxis(np.asarray(noise_j), -1, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +316,211 @@ class TestFixMatchGradParity:
         o_loss, grads = _our_grads(
             "fixmatch", modules, {"model": params}, {"model": bstats},
             batch, cfg_kw={"conf_thresh": 0.8})
+
+        assert o_loss == pytest.approx(float(t_loss), rel=1e-5)
+        _assert_tree_close(grads["model"], ref_grads)
+
+
+class TestMeanTeacherGradParity:
+    """North-star #2: mean teacher (train_mean_teacher_2D.py:208-229) —
+    same student AND teacher weights, the exact jax-drawn input noise fed
+    to the torch block as a constant, iteration past the <1000 consistency
+    gate so the softmax-MSE term carries gradient."""
+
+    STEP_MT = 4500  # w = 0.1 * sigmoid_rampup(4500//150, 200)
+
+    def test_loss_and_grads_match(self):
+        import torch
+
+        student = _torch_unet(SEED)
+        teacher = _torch_unet(SEED + 10)
+        ce_loss, dice_loss = _torch_losses()
+        rng = np.random.default_rng(4)
+        image, label = _batch(rng)
+        vol, lab = _nchw(image), torch.tensor(label).long()
+        u = B - LB
+
+        # the exact noise the jax method draws (methods/mean_teacher.py:25
+        # — FIRST next_rng() of the step)
+        import jax.numpy as jnp
+        k_noise = _ctx_noise_keys(1)[0]
+        import jax
+        noise_j = jnp.clip(
+            0.1 * jax.random.normal(k_noise, (u, PATCH, PATCH, 1)),
+            -0.2, 0.2)
+
+        # reference block (train_mean_teacher_2D.py:208-229)
+        ema_inputs = vol[LB:] + _noise_to_torch(noise_j)
+        outputs = student(vol)
+        outputs_soft = torch.softmax(outputs, dim=1)
+        with torch.no_grad():
+            ema_output = teacher(ema_inputs)
+            ema_output_soft = torch.softmax(ema_output, dim=1)
+        loss_ce = ce_loss(outputs[:LB], lab[:LB])
+        loss_dice = dice_loss(outputs_soft[:LB],
+                              lab[:LB].unsqueeze(1).float())
+        supervised_loss = 0.5 * (loss_dice + loss_ce)
+        w = _consistency_weight_torch(self.STEP_MT)
+        consistency_loss = torch.mean(
+            (outputs_soft[LB:] - ema_output_soft) ** 2)
+        t_loss = supervised_loss + w * consistency_loss
+        t_loss.backward()
+        ref_grads = _grads_to_flax(student)
+
+        params, bstats = _init_to_flax(student)
+        tparams, tbstats = _init_to_flax(teacher)
+        modules = _our_modules(["model"])
+        batch = {"image": image[..., None], "label": label}
+        o_loss, grads = _our_grads(
+            "mean_teacher", modules, {"model": params}, {"model": bstats},
+            batch, teacher_params={"model": tparams},
+            teacher_bstats={"model": tbstats}, step=self.STEP_MT)
+
+        assert o_loss == pytest.approx(float(t_loss), rel=1e-5)
+        _assert_tree_close(grads["model"], ref_grads)
+
+
+class TestUAMTGradParity:
+    """North-star #3/#5 step math in 2D: uncertainty-aware mean teacher
+    (train_uncertainty_aware_mean_teacher_2D.py:150-195). The torch side
+    runs the reference's ACTUAL T//2 sequential MC passes over the
+    twice-repeated unlabeled batch (per-pass BatchNorm statistics); ours
+    runs the lax.scan group path — gradients must agree, which pins the
+    MC grouping, entropy/threshold/mask math, and masked consistency."""
+
+    STEP_U = 4500
+
+    def test_loss_and_grads_match(self):
+        import torch
+
+        import reference_shim as rs
+        rs.install_stubs()
+        if rs.REFERENCE not in sys.path:
+            sys.path.insert(0, rs.REFERENCE)
+        from utils import losses as ref_losses
+        from utils import ramps as ref_ramps
+
+        student = _torch_unet(SEED + 20)
+        teacher = _torch_unet(SEED + 21)
+        ce_loss, dice_loss = _torch_losses()
+        rng = np.random.default_rng(5)
+        image, label = _batch(rng)
+        vol, lab = _nchw(image), torch.tensor(label).long()
+        u, T, MAX_IT = B - LB, 8, 30000
+
+        # the exact noise arrays the jax method draws (methods/uamt.py:
+        # next_rng order = ema noise, student dropout+perturb, MC noise)
+        import jax
+        import jax.numpy as jnp
+        keys = _ctx_noise_keys(4)
+        noise_j = jnp.clip(
+            0.1 * jax.random.normal(keys[0], (u, PATCH, PATCH, 1)),
+            -0.2, 0.2)
+        mc_noise_j = jnp.clip(
+            0.1 * jax.random.normal(keys[3], (T * u, PATCH, PATCH, 1)),
+            -0.2, 0.2)
+
+        # reference block (:150-195), noise injected as constants
+        ema_inputs = vol[LB:] + _noise_to_torch(noise_j)
+        outputs = student(vol)
+        outputs_soft = torch.softmax(outputs, dim=1)
+        with torch.no_grad():
+            ema_output = teacher(ema_inputs)
+        volume_batch_r = vol[LB:].repeat(2, 1, 1, 1)
+        stride = u
+        mc_noise_t = _noise_to_torch(mc_noise_j)
+        preds = torch.zeros([stride * T, C, PATCH, PATCH])
+        for i in range(T // 2):
+            inputs = volume_batch_r + mc_noise_t[2 * u * i:2 * u * (i + 1)]
+            with torch.no_grad():
+                preds[2 * stride * i:2 * stride * (i + 1)] = teacher(inputs)
+        preds = torch.softmax(preds, dim=1)
+        preds = preds.reshape(T, stride, C, PATCH, PATCH)
+        preds = torch.mean(preds, dim=0)
+        uncertainty = -1.0 * torch.sum(preds * torch.log(preds + 1e-6),
+                                       dim=1, keepdim=True)
+        loss_ce = ce_loss(outputs[:LB], lab[:LB])
+        loss_dice = dice_loss(outputs_soft[:LB],
+                              lab[:LB].unsqueeze(1).float())
+        supervised_loss = 0.5 * (loss_dice + loss_ce)
+        w = _consistency_weight_torch(self.STEP_U)
+        consistency_dist = ref_losses.softmax_mse_loss(outputs[LB:],
+                                                       ema_output)
+        threshold = (0.75 + 0.25 * ref_ramps.sigmoid_rampup(
+            self.STEP_U, MAX_IT)) * np.log(2)
+        mask = (uncertainty < threshold).float()
+        consistency_loss = torch.sum(
+            mask * consistency_dist) / (2 * torch.sum(mask) + 1e-16)
+        t_loss = supervised_loss + w * consistency_loss
+        t_loss.backward()
+        ref_grads = _grads_to_flax(student)
+
+        params, bstats = _init_to_flax(student)
+        tparams, tbstats = _init_to_flax(teacher)
+        modules = _our_modules(["model"])
+        batch = {"image": image[..., None], "label": label}
+        o_loss, grads = _our_grads(
+            "uamt", modules, {"model": params}, {"model": bstats},
+            batch, teacher_params={"model": tparams},
+            teacher_bstats={"model": tbstats}, step=self.STEP_U)
+
+        assert o_loss == pytest.approx(float(t_loss), rel=1e-5)
+        _assert_tree_close(grads["model"], ref_grads)
+
+
+class TestICTGradParity:
+    """Interpolation consistency training
+    (train_interpolation_consistency_training_2D.py:150-188) — the jax-drawn
+    Beta(0.2, 0.2) mix factors are fed to the torch block as constants;
+    student + teacher weights converted from torch init."""
+
+    def test_loss_and_grads_match(self):
+        import torch
+
+        student = _torch_unet(SEED + 30)
+        teacher = _torch_unet(SEED + 31)
+        ce_loss, dice_loss = _torch_losses()
+        rng = np.random.default_rng(6)
+        image, label = _batch(rng)
+        vol, lab = _nchw(image), torch.tensor(label).long()
+        half = (B - LB) // 2
+
+        # the exact mix factors the jax method draws (methods/ict.py —
+        # FIRST next_rng() of the step)
+        import jax
+        mix_j = jax.random.beta(_ctx_noise_keys(1)[0], 0.2, 0.2,
+                                (half, 1, 1, 1))
+        mix_t = torch.tensor(np.asarray(mix_j))  # (half, 1, 1, 1)
+
+        # reference block (:150-188)
+        u0, u1 = vol[LB:LB + half], vol[LB + half:]
+        batch_ux_mixed = u0 * (1.0 - mix_t) + u1 * mix_t
+        inputs = torch.cat([vol[:LB], batch_ux_mixed], dim=0)
+        outputs = student(inputs)
+        outputs_soft = torch.softmax(outputs, dim=1)
+        with torch.no_grad():
+            ema0 = torch.softmax(teacher(u0), dim=1)
+            ema1 = torch.softmax(teacher(u1), dim=1)
+            batch_pred_mixed = ema0 * (1.0 - mix_t) + ema1 * mix_t
+        loss_ce = ce_loss(outputs[:LB], lab[:LB])
+        loss_dice = dice_loss(outputs_soft[:LB],
+                              lab[:LB].unsqueeze(1).float())
+        supervised_loss = 0.5 * (loss_dice + loss_ce)
+        w = _consistency_weight_torch(STEP)
+        consistency_loss = torch.mean(
+            (outputs_soft[LB:] - batch_pred_mixed) ** 2)
+        t_loss = supervised_loss + w * consistency_loss
+        t_loss.backward()
+        ref_grads = _grads_to_flax(student)
+
+        params, bstats = _init_to_flax(student)
+        tparams, tbstats = _init_to_flax(teacher)
+        modules = _our_modules(["model"])
+        batch = {"image": image[..., None], "label": label}
+        o_loss, grads = _our_grads(
+            "ict", modules, {"model": params}, {"model": bstats},
+            batch, teacher_params={"model": tparams},
+            teacher_bstats={"model": tbstats})
 
         assert o_loss == pytest.approx(float(t_loss), rel=1e-5)
         _assert_tree_close(grads["model"], ref_grads)

@@ -19,6 +19,7 @@ class FCDiscriminator(nn.Module):
     """2D discriminator (``discriminator.py:58-100``). Inputs NHWC."""
     num_classes: int
     ndf: int = 64
+    drop: float = 0.5
 
     @nn.compact
     def __call__(self, seg_map, image, *, train: bool = False):
@@ -27,10 +28,14 @@ class FCDiscriminator(nn.Module):
         # Reference quirk kept: no activation between the add and conv2.
         x = nn.Conv(self.ndf * 2, (4, 4), strides=2, padding=1)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        # torch nn.Dropout2d semantics: one mask per (sample, channel),
+        # broadcast over the spatial dims.
+        x = nn.Dropout(self.drop, broadcast_dims=(1, 2),
+                       deterministic=not train)(x)
         x = nn.Conv(self.ndf * 4, (4, 4), strides=2, padding=1)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(self.drop, broadcast_dims=(1, 2),
+                       deterministic=not train)(x)
         x = nn.Conv(self.ndf * 8, (4, 4), strides=2, padding=1)(x)
         x = nn.leaky_relu(x, 0.2)
         k = (min(7, x.shape[1]), min(7, x.shape[2]))  # floor-mode window,
@@ -44,19 +49,24 @@ class FC3DDiscriminator(nn.Module):
     96^3 inputs -> 6^3 after 4 stride-2 convs -> global avg pool 6^3."""
     num_classes: int
     ndf: int = 64
+    drop: float = 0.5
 
     @nn.compact
     def __call__(self, seg_map, image, *, train: bool = False):
         x = nn.Conv(self.ndf, (4, 4, 4), strides=2, padding=1)(seg_map) + \
             nn.Conv(self.ndf, (4, 4, 4), strides=2, padding=1)(image)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        # torch nn.Dropout3d semantics: per-(sample, channel) masks.
+        x = nn.Dropout(self.drop, broadcast_dims=(1, 2, 3),
+                       deterministic=not train)(x)
         x = nn.Conv(self.ndf * 2, (4, 4, 4), strides=2, padding=1)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(self.drop, broadcast_dims=(1, 2, 3),
+                       deterministic=not train)(x)
         x = nn.Conv(self.ndf * 4, (4, 4, 4), strides=2, padding=1)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(self.drop, broadcast_dims=(1, 2, 3),
+                       deterministic=not train)(x)
         x = nn.Conv(self.ndf * 8, (4, 4, 4), strides=2, padding=1)(x)
         x = nn.leaky_relu(x, 0.2)
         x = jnp.mean(x, axis=(1, 2, 3))  # AvgPool3d(6) == global mean at 6^3

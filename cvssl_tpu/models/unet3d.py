@@ -147,6 +147,7 @@ class UNet3D(nn.Module):
     in_chns: int = 1
     num_classes: int = 2
     feature_scale: int = 4
+    dropout: float = 0.3  # reference fixes p=0.3; exposed for parity tests
     s2d_levels: int = 0
     logits_f32: bool = True  # False: logits in compute dtype (train step
     # only — all train-loss consumers cast to f32 at entry, values
@@ -185,13 +186,13 @@ class UNet3D(nn.Module):
             nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)), train=train)
         center = UnetConv3(f[4], dtype=dt)(
             nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)), train=train)
-        center = nn.Dropout(0.3, deterministic=not train)(center)
+        center = nn.Dropout(self.dropout, deterministic=not train)(center)
         up4 = UnetUp3CT(f[3], dtype=dt)(conv4, center, train=train)
         up3 = UnetUp3CT(f[2], dtype=dt)(conv3, up4, train=train)
         up2 = UnetUp3CT(f[1], s2d=s >= 2, dtype=dt)(conv2, up3, train=train)
         up1 = UnetUp3CT(f[0], s2d=True, s2d_below=s >= 2,
                         dtype=dt)(conv1, up2, train=train)
-        up1 = nn.Dropout(0.3, deterministic=not train)(up1)
+        up1 = nn.Dropout(self.dropout, deterministic=not train)(up1)
         from cvssl_tpu.models.unet import ConvW
         k, b = ConvW(self.num_classes, (1, 1, 1), f[0], name="Conv_0")()
         out = s2d_ops.conv1x1(up1, k.reshape(f[0], self.num_classes), b,
@@ -209,12 +210,12 @@ class UNet3D(nn.Module):
             nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)), train=train)
         center = UnetConv3(f[4], dtype=dt)(
             nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)), train=train)
-        center = nn.Dropout(0.3, deterministic=not train)(center)
+        center = nn.Dropout(self.dropout, deterministic=not train)(center)
         up4 = UnetUp3CT(f[3], dtype=dt)(conv4, center, train=train)
         up3 = UnetUp3CT(f[2], dtype=dt)(conv3, up4, train=train)
         up2 = UnetUp3CT(f[1], dtype=dt)(conv2, up3, train=train)
         up1 = UnetUp3CT(f[0], dtype=dt)(conv1, up2, train=train)
-        up1 = nn.Dropout(0.3, deterministic=not train)(up1)
+        up1 = nn.Dropout(self.dropout, deterministic=not train)(up1)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=dt)(up1)
         return self._cast_out(out)
 

@@ -127,37 +127,47 @@ def _shear_tables(h: int, w: int):
     return row, col
 
 
+def _cyclic_shift(arrs, s, axis):
+    """Per-row/column cyclic shift: out[..., j] = a[..., (j + s) mod N]
+    along ``axis`` (2 = shift columns, amount per (b, i); 1 = shift rows,
+    amount per (b, j)). Binary decomposition of the shift amount — one
+    conditional roll per bit, ceil(log2 N) full-array passes instead of one
+    pass per distinct shift value."""
+    n = arrs[0].shape[axis]
+    t = jnp.mod(s, n)
+    bit = 1
+    while bit < n:
+        use = (t & bit) != 0                          # (B, H) or (B, W)
+        use = use[:, :, None] if axis == 2 else use[:, None, :]
+        arrs = [jnp.where(use, jnp.roll(a, -bit, axis=axis), a)
+                for a in arrs]
+        bit <<= 1
+    return arrs
+
+
 def _shift_cols(arrs, valids, s, max_s):
     """out[b, i, j] = arr[b, i, j + s[b, i]] with zero fill (horizontal
     shear). ``arrs``: tuple of (B, H, W); ``valids``: running validity mask
     (B, H, W) sheared alongside; ``s``: (B, H) int32 in [-max_s, max_s]."""
+    del max_s  # bounded shifts no longer needed: log2(W) passes regardless
     w = arrs[0].shape[2]
-    jcol = jnp.arange(w)
-    outs = [jnp.zeros_like(a) for a in arrs]
-    vout = jnp.zeros_like(valids)
-    for delta in range(-max_s, max_s + 1):
-        inb = (jcol + delta >= 0) & (jcol + delta < w)      # (W,)
-        use = (s == delta)[:, :, None] & inb[None, None, :]
-        outs = [jnp.where(use, jnp.roll(a, -delta, axis=2), o)
-                for a, o in zip(arrs, outs)]
-        vout = jnp.where(use, jnp.roll(valids, -delta, axis=2), vout)
-    return outs, vout
+    j_s = jnp.arange(w)[None, None, :] + s[:, :, None]   # (B, H, W)
+    inb = (j_s >= 0) & (j_s < w)
+    shifted = _cyclic_shift(list(arrs) + [valids], s, axis=2)
+    outs = [jnp.where(inb, a, jnp.zeros((), a.dtype)) for a in shifted[:-1]]
+    return outs, inb & shifted[-1]
 
 
 def _shift_rows(arrs, valids, s, max_s):
     """out[b, i, j] = arr[b, i + s[b, j], j] with zero fill (vertical
     shear). ``s``: (B, W) int32."""
+    del max_s
     h = arrs[0].shape[1]
-    irow = jnp.arange(h)
-    outs = [jnp.zeros_like(a) for a in arrs]
-    vout = jnp.zeros_like(valids)
-    for delta in range(-max_s, max_s + 1):
-        inb = (irow + delta >= 0) & (irow + delta < h)      # (H,)
-        use = (s == delta)[:, None, :] & inb[None, :, None]
-        outs = [jnp.where(use, jnp.roll(a, -delta, axis=1), o)
-                for a, o in zip(arrs, outs)]
-        vout = jnp.where(use, jnp.roll(valids, -delta, axis=1), vout)
-    return outs, vout
+    i_s = jnp.arange(h)[None, :, None] + s[:, None, :]   # (B, H, W)
+    inb = (i_s >= 0) & (i_s < h)
+    shifted = _cyclic_shift(list(arrs) + [valids], s, axis=1)
+    outs = [jnp.where(inb, a, jnp.zeros((), a.dtype)) for a in shifted[:-1]]
+    return outs, inb & shifted[-1]
 
 
 def _rotate_shear3(img, lab, angle_idx):

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from cvssl_tpu.ops.dropout import BitsDropout
+
 from cvssl_tpu.ops import s2d as s2d_ops
 
 DEFAULT_FEATURES = (16, 32, 64, 128, 256)
@@ -142,7 +144,7 @@ class ConvBlock(nn.Module):
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
         if self.dropout_p > 0:
-            x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+            x = BitsDropout(self.dropout_p)(x, deterministic=not train)
         x = nn.Conv(self.out_channels, (3, 3), padding=1,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -170,7 +172,7 @@ class ConvBlock(nn.Module):
                              name="BatchNorm_0")(x)
             x = nn.leaky_relu(x, negative_slope=0.01)
             if self.dropout_p > 0:
-                x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+                x = BitsDropout(self.dropout_p)(x, deterministic=not train)
             # BN's bias/relu move the overhang off zero; restore the SAME-
             # padding semantics before the shifted->aligned conv
             x = s2d_ops.apply_shifted_mask(x)
@@ -188,7 +190,7 @@ class ConvBlock(nn.Module):
                          dtype=self.dtype, name="BatchNorm_0")(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
         if self.dropout_p > 0:
-            x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+            x = BitsDropout(self.dropout_p)(x, deterministic=not train)
         x = s2d_ops.conv3x3(x, k1, b1, dtype=self.dtype)
         x = S2DBatchNorm(co, use_running_average=not train,
                          dtype=self.dtype, name="BatchNorm_1")(x)

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cvssl_tpu.ops.dropout import BitsDropout
+
 from cvssl_tpu.ops import s2d as s2d_ops
 
 
@@ -186,13 +188,13 @@ class UNet3D(nn.Module):
             nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)), train=train)
         center = UnetConv3(f[4], dtype=dt)(
             nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)), train=train)
-        center = nn.Dropout(self.dropout, deterministic=not train)(center)
+        center = BitsDropout(self.dropout)(center, deterministic=not train)
         up4 = UnetUp3CT(f[3], dtype=dt)(conv4, center, train=train)
         up3 = UnetUp3CT(f[2], dtype=dt)(conv3, up4, train=train)
         up2 = UnetUp3CT(f[1], s2d=s >= 2, dtype=dt)(conv2, up3, train=train)
         up1 = UnetUp3CT(f[0], s2d=True, s2d_below=s >= 2,
                         dtype=dt)(conv1, up2, train=train)
-        up1 = nn.Dropout(self.dropout, deterministic=not train)(up1)
+        up1 = BitsDropout(self.dropout)(up1, deterministic=not train)
         from cvssl_tpu.models.unet import ConvW
         k, b = ConvW(self.num_classes, (1, 1, 1), f[0], name="Conv_0")()
         out = s2d_ops.conv1x1(up1, k.reshape(f[0], self.num_classes), b,
@@ -210,12 +212,12 @@ class UNet3D(nn.Module):
             nn.max_pool(conv3, (2, 2, 2), (2, 2, 2)), train=train)
         center = UnetConv3(f[4], dtype=dt)(
             nn.max_pool(conv4, (2, 2, 2), (2, 2, 2)), train=train)
-        center = nn.Dropout(self.dropout, deterministic=not train)(center)
+        center = BitsDropout(self.dropout)(center, deterministic=not train)
         up4 = UnetUp3CT(f[3], dtype=dt)(conv4, center, train=train)
         up3 = UnetUp3CT(f[2], dtype=dt)(conv3, up4, train=train)
         up2 = UnetUp3CT(f[1], dtype=dt)(conv2, up3, train=train)
         up1 = UnetUp3CT(f[0], dtype=dt)(conv1, up2, train=train)
-        up1 = nn.Dropout(self.dropout, deterministic=not train)(up1)
+        up1 = BitsDropout(self.dropout)(up1, deterministic=not train)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=dt)(up1)
         return self._cast_out(out)
 

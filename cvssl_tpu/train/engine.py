@@ -612,6 +612,22 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
         if it % cfg.ckpt_every == 0:
             ckpt.save_train_state(snapshot, ckpt.to_host(state), it,
                                   meta={"best_dice": dict(best_dice)})
+            # reference weights-file contract
+            # (train_mean_teacher_2D.py:295-304): alongside the full train
+            # state, raw per-interval weights for each student and, for
+            # teacher-bearing methods, its EMA teacher
+            # (ema_model_iter_{k}); dual-model slots keep their prefix.
+            for name in engine.method.eval_model_names():
+                prefix = "" if name == "model" else f"{name}_"
+                ckpt.save_weights(
+                    os.path.join(snapshot, f"{prefix}iter_{it}.ckpt"),
+                    ckpt.to_host(state.params[name]))
+            for name in engine.method.teacher_names:
+                prefix = "" if name == "model" else f"{name}_"
+                ckpt.save_weights(
+                    os.path.join(snapshot,
+                                 f"{prefix}ema_model_iter_{it}.ckpt"),
+                    ckpt.to_host(state.teacher_params[name]))
             ckpt.prune_old(snapshot)
 
     elapsed = time.time() - t0

@@ -28,6 +28,7 @@ def main():
         k, _, v = kv.partition("=")
         over[k] = int(v) if v.lstrip("-").isdigit() else v
     patch = over.pop("patch", 256)
+    use_store = bool(over.pop("store", 0))
     base = dict(method="mean_teacher", model="unet", num_classes=4,
                 batch_size=24, labeled_bs=12, num_devices=None)
     base.update(over)
@@ -43,11 +44,33 @@ def main():
              0, 4, (batch, patch, patch)).astype(np.int32),
          "idx": np.arange(batch, dtype=np.int32)}
     state = engine.init_state(jax.random.PRNGKey(0), b)
-    state, m = engine.train_steps_fixed(state, b, 10)
+    if use_store:
+        # the PRODUCTION path: device store + in-jit augmentation + scan
+        # (what bench.py measures) — train_steps_fixed skips augmentation
+        import bench
+        from cvssl_tpu.data.device_store import DeviceSliceStore
+        from cvssl_tpu.data.sampler import TwoStreamBatchSampler
+        store = DeviceSliceStore(bench._SyntheticACDC(), cfg.patch_size)
+        engine.attach_store(store)
+        sampler = TwoStreamBatchSampler(
+            list(range(bench.ACDC_LABELED_SLICES)),
+            list(range(bench.ACDC_LABELED_SLICES, bench.ACDC_TRAIN_SLICES)),
+            batch, batch - cfg.labeled_bs, rng=np.random.default_rng(0))
+        stream = sampler.epochs()
+
+        def run():
+            s, m = engine.train_steps_scan(
+                state, [next(stream) for _ in range(10)])
+            return s, m
+    else:
+        def run():
+            return engine.train_steps_fixed(state, b, 10)
+
+    state, m = run()
     float(m["loss"])  # compile + sync
 
     with jax.profiler.trace(OUT):
-        state, m = engine.train_steps_fixed(state, b, 10)
+        state, m = run()
         float(m["loss"])
 
     time.sleep(2)
@@ -65,6 +88,14 @@ def main():
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids:
             agg[e["name"]] += e.get("dur", 0)
+    # drop ENCLOSING events (the jitted program, its while loop, and bare
+    # region ids) — they each span the whole step and would double-count
+    containers = {n for n in agg
+                  if n.startswith(("jit_", "while", "body", "condition"))
+                  or n.isdigit()}
+    for n in containers:
+        print(f"(container: {n} {agg[n]/1e4:.3f} ms/step)")
+        del agg[n]
     total = sum(agg.values())
     print(f"total device time {total/1e3:.2f} ms over traced window "
           f"(10 steps => {total/1e4:.2f} ms/step)")

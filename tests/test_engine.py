@@ -198,3 +198,64 @@ class TestFit:
             _glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
                        recursive=True)
         assert traces, f"no trace files under {prof}"
+
+
+class TestWeightsArtifactsAndProstate:
+    def test_fit_weights_artifacts_contract(self, acdc_root, tmp_path):
+        """Reference weights-file contract (train_mean_teacher_2D.py:295-304):
+        every ckpt_every interval writes raw student weights (iter_{k}.ckpt)
+        AND the EMA teacher's (ema_model_iter_{k}.ckpt) alongside the
+        full-state model_iter_{k}.ckpt; both load as plain weight trees."""
+        import jax.numpy as jnp
+        from cvssl_tpu.utils import checkpoint as ckpt
+
+        cfg = small_cfg(acdc_root, tmp_path, method="mean_teacher",
+                        exp="smoke_mt_artifacts")
+        result = fit(cfg)
+        snap = cfg.snapshot_path()
+        names = os.listdir(snap)
+        assert "iter_8.ckpt" in names, names
+        assert "ema_model_iter_8.ckpt" in names, names
+        state = result["state"]
+        template = jax.device_get(state.teacher_params["model"])
+        loaded = ckpt.load_weights(
+            os.path.join(snap, "ema_model_iter_8.ckpt"), template)
+        for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                        jax.tree_util.tree_leaves(template)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fit_and_eval_prostate_2class(self, tmp_path):
+        """Prostate recipe end to end (reference README rows: 2 classes,
+        patients_to_slices Prostate table): fit a mean-teacher run with
+        labeled_num=2 (-> 27 labeled slices via the table), then round-trip
+        the saved best checkpoint through the test_2d CLI."""
+        from cvssl_tpu.data.synthetic import make_synthetic_acdc
+        from cvssl_tpu.eval import test_2d
+
+        root = make_synthetic_acdc(str(tmp_path / "Prostate"), num_cases=8,
+                                   slices_per_case=4, size=64, num_classes=2)
+        cfg = TrainConfig(
+            root_path=root, exp="smoke_prostate", model="unet",
+            method="mean_teacher", num_classes=2, max_iterations=8,
+            batch_size=8, labeled_bs=4, base_lr=0.01, patch_size=(64, 64),
+            labeled_num=2, snapshot_root=str(tmp_path / "snap"),
+            val_every=4, ckpt_every=8, num_workers=2)
+        assert cfg.labeled_slices == 27  # the Prostate table row for "2"
+        result = fit(cfg)
+        assert result["iterations"] == 8
+        assert "model" in result["best_dice"]
+
+        snap = cfg.snapshot_path()
+        assert os.path.exists(os.path.join(snap, "unet_best_model.ckpt"))
+        with open(os.path.join(root, "val.list")) as f:
+            cases = f.read().split()
+        with open(os.path.join(root, "test.list"), "w") as f:
+            f.write("\n".join(cases) + "\n")
+        flags = test_2d.build_parser().parse_args([
+            "--root_path", root, "--exp", "smoke_prostate", "--model",
+            "unet", "--num_classes", "2", "--labeled_num", "2",
+            "--patch_size", "64", "64",
+            "--snapshot_root", str(tmp_path / "snap")])
+        avg = test_2d.inference(flags)
+        assert avg.shape[0] == 1  # one foreground class
+        assert np.all(np.isfinite(avg))

@@ -130,10 +130,14 @@ def convert_swinunet_full(torch_sd: Dict[str, np.ndarray], flax_params,
     """Convert a FULL SwinUnet (SwinTransformerSys) state dict — e.g. a
     reference-trained checkpoint — including the decoder: ``layers_up``,
     ``concat_back_dim``, ``norm_up``, final ``up`` and ``output`` head.
+    Accepts both the bare SwinTransformerSys state dict and the ViT_seg
+    wrapper's (vision_transformer.py wraps it as ``self.swin_unet`` — its
+    keys carry a ``swin_unet.`` prefix, stripped here).
     Returns (params, report)."""
     import jax
 
-    td = dict(torch_sd)
+    td = {(k[len("swin_unet."):] if k.startswith("swin_unet.") else k): v
+          for k, v in torch_sd.items()}
     params = jax.tree_util.tree_map(np.asarray, jax.device_get(flax_params))
 
     def to_mut(d):

@@ -233,18 +233,99 @@ class PatchExpand(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
+class _GroupedLNStats(nn.Module):
+    """Declares LayerNorm params (scale/bias of shape (C,), same tree as
+    nn.LayerNorm) and returns per-GROUP statistics of a (..., G*C)
+    tensor via block-indicator matmuls (f32 accumulation) — the tensor
+    never leaves its (..., G*C)-lane layout and nothing full-size is
+    written. The normalization itself is folded into the block-diagonal
+    output head (_BlockDiagPointwiseHead): a naive grouped LN (either the
+    (..., 16, 96) view, 70.3 ms/step, or explicit f32 indicator matmuls,
+    54.2 ms with ~6 ms in norm converts) loses to full-res unless every
+    full-size write is eliminated."""
+    dim: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        g, c = self.groups, self.dim
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ind = jnp.asarray(np.kron(np.eye(g, dtype=np.float32),
+                                  np.ones((c, 1), np.float32)))  # (g*c, g)
+        dims = (((x.ndim - 1,), (0,)), ((), ()))
+        mean_g = jax.lax.dot_general(
+            x, ind.astype(x.dtype), dims,
+            preferred_element_type=jnp.float32) / c       # (..., g) f32
+        ex2_g = jax.lax.dot_general(
+            x * x, ind.astype(x.dtype), dims,
+            preferred_element_type=jnp.float32) / c
+        var_g = ex2_g - mean_g ** 2
+        return mean_g, var_g, scale, bias
+
+
+class _BlockDiagPointwiseHead(nn.Module):
+    """The 1x1 output conv applied in grouped coordinates, with the
+    preceding LayerNorm's affine+normalization FOLDED in:
+
+        LN(x) @ K = (x @ (s .* K)) * r  -  (m * r) * colsum(s .* K)
+                    + colsum(b .* K)
+
+    per group (m, r = mean, rsqrt-var of the group; s, b = LN affine;
+    colsum over channels). The (..., G*C) tensor is only ever READ (by
+    the stats matmuls and the head matmul) — no full-size intermediate is
+    written, which is what makes grouped coordinates actually beat the
+    full-resolution head. Param tree/shape is IDENTICAL to
+    ``nn.Conv(num_classes, (1, 1), use_bias=False)``."""
+    in_dim: int
+    num_classes: int
+    groups: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mean_g, var_g, ln_scale, ln_bias):
+        g = self.groups
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_dim, self.num_classes))
+        dt = self.dtype or x.dtype
+        kf = k[0, 0].astype(jnp.float32)
+        ks = ln_scale.astype(jnp.float32)[:, None] * kf    # (C, nc)
+        kbs = jnp.kron(jnp.eye(g, dtype=dt), ks.astype(dt))
+        z = (x.astype(dt) @ kbs).astype(jnp.float32)
+        z = z.reshape(z.shape[:-1] + (g, self.num_classes))
+        r = jax.lax.rsqrt(var_g + 1e-5)                    # (..., g) f32
+        cs = jnp.sum(ks, axis=0)                           # (nc,)
+        cb = jnp.sum(ln_bias.astype(jnp.float32)[:, None] * kf, axis=0)
+        out = z * r[..., None] - (mean_g * r)[..., None] * cs + cb
+        return out.astype(dt)
+
+
 class FinalPatchExpandX4(nn.Module):
-    """linear C->16C + depth-to-space x4 + LN on C (reference ``:385-410``)."""
+    """linear C->16C + depth-to-space x4 + LN on C (reference ``:385-410``).
+
+    ``grouped=True`` keeps the result in s2d grouped COORDINATES — flat
+    (B, H, W, 16*C), group axis enumerating the 4x4 sub-positions in
+    (i*4+j) order, exactly ``ops.s2d.space_to_depth_labels(..., r=4)``'s
+    layout — and normalizes per group via _GroupedChannelLN. Same values
+    as depth-to-space + LN, no full-resolution transpose: the full-res
+    d2s + LN + 1x1-conv backward at 224^2 were the hottest ops of the
+    cross-teaching step (scripts/probe_hlo_ct.py census, round 4)."""
     dim: int
     dtype: Any = None
+    grouped: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = nn.Dense(16 * self.dim, use_bias=False, dtype=self.dtype,
                      name="expand")(x)
+        if self.grouped:
+            # raw expand output + per-group LN stats; normalization is
+            # folded into the consuming head (_BlockDiagPointwiseHead)
+            return (x,) + _GroupedLNStats(self.dim, 16, name="norm")(x)
         x = x.reshape(b, h, w, 4, 4, self.dim)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w, self.dim)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w,
+                                                  self.dim)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
@@ -272,6 +353,9 @@ class SwinUnet(nn.Module):
     # step only — every train-loss consumer casts to f32 at entry, so
     # values are bit-identical; skips materializing the f32 logit map).
     # Eval paths keep the f32 contract.
+    s2d_logits: bool = False      # grouped (B, H/4, W/4, 16, C) train
+    # logits — skips the full-res x4 depth-to-space + LN + head (see
+    # FinalPatchExpandX4.grouped). Train-step clones only.
     dtype: Any = None             # bf16 compute (params/softmax/logits f32)
 
     def _block(self, **kw):
@@ -347,8 +431,23 @@ class SwinUnet(nn.Module):
                                     name=f"up_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
 
-        x = FinalPatchExpandX4(self.embed_dim, dtype=self.dtype,
-                               name="final_up")(x)
-        out = nn.Conv(self.num_classes, (1, 1), use_bias=False,
-                      dtype=self.dtype, name="output")(x)
+        if self.s2d_logits:
+            # grouped-logits train mode: stay in the flat (B, H/4, W/4,
+            # 16*C) layout end-to-end — the 1x1 output conv becomes a
+            # block-diagonal (kron) matmul with the SAME (1, 1, C,
+            # num_classes) kernel; only the final (cheap, 16*nc-channel)
+            # logits get the (..., 16, nc) view the losses consume. Labels
+            # are re-indexed in-step (space_to_depth_labels r=4). Eval
+            # clones keep the original layout.
+            xg, mean_g, var_g, ln_s, ln_b = FinalPatchExpandX4(
+                self.embed_dim, dtype=self.dtype, grouped=True,
+                name="final_up")(x)
+            out = _BlockDiagPointwiseHead(
+                self.embed_dim, self.num_classes, 16, dtype=self.dtype,
+                name="output")(xg, mean_g, var_g, ln_s, ln_b)
+        else:
+            x = FinalPatchExpandX4(self.embed_dim, dtype=self.dtype,
+                                   name="final_up")(x)
+            out = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                          dtype=self.dtype, name="output")(x)
         return out.astype(jnp.float32) if self.logits_f32 else out

@@ -3,6 +3,18 @@ reference usage (``net_factory_3d.py:38``: img 64^3, feature_size 48): a 3D
 Swin transformer encoder (patch 2, depths [2,2,2,2], heads [3,6,12,24],
 window 7 clamped per resolution, shifted windows, 3D relative position bias)
 feeding a UNETR-style residual conv decoder.
+
+Pinned to MONAI's published schema (executable torch reconstruction:
+tests/monai_standin.py; parity: tests/test_monai_parity.py): every decoder
+tap goes through ``proj_out(normalize=True)`` — a PARAMETER-FREE layer norm
+over the channel axis (monai SwinTransformer.proj_out: F.layer_norm(x,
+[ch])); decoder convs are bias-free (get_conv_layer default) with only the
+UnetOutBlock head biased; swin attention qkv HAS bias (qkv_bias=True).
+
+Documented deviation: patch merging concatenates the 2x2x2 neighborhood in
+itertools.product order (i slowest) — MONAI's default ``PatchMerging`` (V1)
+has a known slice-duplication bug (fixed in their V2, which uses exactly
+this product order); we implement the fixed semantics.
 """
 from __future__ import annotations
 
@@ -64,9 +76,16 @@ def shifted_window_mask_3d(dims, ws, shift) -> Optional[np.ndarray]:
 
 
 class WindowAttention3D(nn.Module):
+    """``full_window_size`` sizes the bias table: MONAI allocates the
+    relative-position table for the CONFIGURED window (7^3) regardless of
+    the per-resolution clamp, then slices its index ``[:n, :n]`` — for
+    clamped windows those rows enumerate the first n tokens of the FULL
+    window's order, not the clamped window's geometry. Reproduced for
+    checkpoint/param parity (a documented MONAI quirk)."""
     dim: int
     window_size: Sequence[int]
     num_heads: int
+    full_window_size: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, x, mask=None, *, train: bool = False):
@@ -77,11 +96,11 @@ class WindowAttention3D(nn.Module):
         qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * head_dim ** -0.5, qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
-        ws = tuple(self.window_size)
-        table_size = (2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1)
+        fw = tuple(self.full_window_size or self.window_size)
+        table_size = (2 * fw[0] - 1) * (2 * fw[1] - 1) * (2 * fw[2] - 1)
         table = self.param("relative_position_bias_table", trunc_normal_init,
                            (table_size, heads))
-        idx = relative_position_index_3d(ws).reshape(-1)
+        idx = relative_position_index_3d(fw)[:n, :n].reshape(-1)
         bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
         attn = attn + bias[None]
         if mask is not None:
@@ -121,8 +140,10 @@ class SwinBlock3D(nn.Module):
         windows = window_partition_3d(x, ws)
         mask = shifted_window_mask_3d((pd, ph, pw), ws, shift) \
             if any(shift) else None
-        attn = WindowAttention3D(self.dim, ws, self.num_heads,
-                                 name="attn")(windows, mask, train=train)
+        attn = WindowAttention3D(
+            self.dim, ws, self.num_heads,
+            full_window_size=(self.window_size,) * 3,
+            name="attn")(windows, mask, train=train)
         x = window_reverse_3d(attn, ws, pd, ph, pw)
         if any(shift):
             x = jnp.roll(x, shift, axis=(1, 2, 3))
@@ -144,6 +165,14 @@ class PatchMerging3D(nn.Module):
         x = jnp.concatenate(parts, axis=-1)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+def _proj_out(x):
+    """monai SwinTransformer.proj_out(normalize=True): parameter-free
+    layer norm over the channel axis (F.layer_norm(x, [ch]), eps 1e-5)."""
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5)
 
 
 class SwinUNETR(nn.Module):
@@ -174,20 +203,18 @@ class SwinUNETR(nn.Module):
             dim *= 2
             hidden.append(h)
 
+        # every swin tap is proj_out-normalized (monai normalize=True)
+        hidden = [_proj_out(t) for t in hidden]
         enc0 = _ResConvBlock(fs, name="encoder1")(raw)
         enc1 = _ResConvBlock(fs, name="encoder2")(hidden[0])
         enc2 = _ResConvBlock(2 * fs, name="encoder3")(hidden[1])
         enc3 = _ResConvBlock(4 * fs, name="encoder4")(hidden[2])
         dec4 = _ResConvBlock(16 * fs, name="encoder10")(hidden[4])
 
-        def up(x_, skip, out_ch, name):
-            x_ = _Deconv(out_ch, name=f"{name}_deconv")(x_)
-            x_ = jnp.concatenate([x_, skip], axis=-1)
-            return _ResConvBlock(out_ch, name=f"{name}_res")(x_)
-
-        d3 = up(dec4, hidden[3], 8 * fs, "decoder5")
-        d2 = up(d3, enc3, 4 * fs, "decoder4")
-        d1 = up(d2, enc2, 2 * fs, "decoder3")
-        d0 = up(d1, enc1, fs, "decoder2")
-        out = up(d0, enc0, fs, "decoder1")
+        from cvssl_tpu.models.unetr import _UpBlock
+        d3 = _UpBlock(8 * fs, name="decoder5")(dec4, hidden[3])
+        d2 = _UpBlock(4 * fs, name="decoder4")(d3, enc3)
+        d1 = _UpBlock(2 * fs, name="decoder3")(d2, enc2)
+        d0 = _UpBlock(fs, name="decoder2")(d1, enc1)
+        out = _UpBlock(fs, name="decoder1")(d0, enc0)
         return nn.Conv(self.num_classes, (1, 1, 1), name="out")(out)

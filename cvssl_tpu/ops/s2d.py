@@ -130,6 +130,15 @@ def space_to_depth_labels(lab: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     return x.reshape(b, h // r, w // r, r * r)
 
 
+def depth_to_space_labels(lab: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Inverse of ``space_to_depth_labels``: (B, HH, WW, r*r) grouped
+    integer labels -> (B, HH*r, WW*r). Cheap on int maps (r*r times less
+    data than the logits the grouped mode avoids transposing)."""
+    b, hh, ww, g = lab.shape
+    x = lab.reshape(b, hh, ww, r, r).transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, hh * r, ww * r)
+
+
 def group_max(x: jnp.ndarray) -> jnp.ndarray:
     """MaxPool 2x2 stride 2 of the ORIGINAL tensor, computed in s2d coords:
     (B, HH, WW, 4C) -> (B, HH, WW, C) — max over the (a, b) sub-positions."""

@@ -192,3 +192,16 @@ class TrainConfig:
         if self.model != "unet":
             return False
         return bool(self.model_kwargs("unet").get("s2d_levels", 0))
+
+    def swin_s2d_loss_on(self) -> bool:
+        """Grouped-logits train mode for the SwinUnet slot of
+        cross-teaching (SwinUnet.s2d_logits): the x4 depth-to-space + LN +
+        1x1 head at full 224^2 resolution are the hottest ops of that step
+        (probe_hlo_ct census, round 4); in grouped (B, H/4, W/4, 16, C)
+        coordinates they shrink 16-fold. Exact reformulation — labels /
+        pseudo-labels are re-indexed in-step (methods/cross_teaching.py);
+        gated by the same ``s2d_loss`` knob, TPU-or-not alike. Patch dims
+        must divide by 4 (SwinUnet requires /32 anyway)."""
+        return (self.s2d_loss != "off" and self.dim == 2
+                and self.method == "cross_teaching"
+                and self.model2 in ("ViT_Seg", "swin_unet"))

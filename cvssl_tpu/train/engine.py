@@ -165,6 +165,14 @@ class Engine:
                            if "logits_f32" in getattr(
                                m, "__dataclass_fields__", {}) else m)
                        for n, m in modules.items()}
+        if cfg.swin_s2d_loss_on():
+            # cross-teaching ViT slot: grouped (B, H/4, W/4, 16, C) train
+            # logits (SwinUnet.s2d_logits) — the method re-indexes labels
+            # and pseudo-labels; eval keeps original modules/layout.
+            from cvssl_tpu.models.swin_unet import SwinUnet
+            modules = {n: (m.clone(s2d_logits=True)
+                           if isinstance(m, SwinUnet) else m)
+                       for n, m in modules.items()}
 
         def make_ctx(params, state, batch_stats, rng):
             return StepCtx(cfg, modules, params, batch_stats,

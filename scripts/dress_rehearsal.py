@@ -1,0 +1,163 @@
+"""Production dress rehearsal (round-4, VERDICT r3 item 4): the full fit()
+path at the north-star config (mean_teacher UNet, batch 24 @ 256^2, device
+store + scan + val every 200 + ckpt contract) on the REAL chip, with a
+mid-run SIGKILL and a resume, measuring SUSTAINED throughput including
+validation stalls from the log timestamps (not the in-process counter,
+which would amortize compile time differently between the two runs).
+
+Usage: python scripts/dress_rehearsal.py [--iters 3000] [--kill-after 75]
+Writes docs/DRESS_REHEARSAL.md + leaves the snapshot tree for inspection.
+"""
+import argparse
+import datetime as dt
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_data(root, size=256):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from cvssl_tpu.data.synthetic import make_synthetic_acdc
+    return make_synthetic_acdc(root, num_cases=60, slices_per_case=8,
+                               num_val=16, size=size)
+
+
+def launch(root, snap_root, iters, kill_after=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    cmd = [sys.executable, "-m", "cvssl_tpu.train.cli",
+           "--root_path", root, "--exp", "rehearsal", "--model", "unet",
+           "--method", "mean_teacher", "--num_classes", "4",
+           "--max_iterations", str(iters), "--batch_size", "24",
+           "--labeled_bs", "12", "--patch_size", "256", "256",
+           "--labeled_num", "14", "--val_every", "200",
+           "--ckpt_every", "500", "--snapshot_root", snap_root]
+    p = subprocess.Popen(cmd, env=env, cwd="/tmp",
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    if kill_after is None:
+        p.wait()
+        return None
+    time.sleep(kill_after)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    return p.returncode
+
+
+def parse_log(snap):
+    """(ts, iter) pairs from log.txt 'iteration N :' lines + val lines."""
+    rows = []
+    with open(os.path.join(snap, "log.txt")) as f:
+        for line in f:
+            m = re.match(r"\[(\d+:\d+:\d+)(?:\.\d+)?\] iteration (\d+) :",
+                         line)
+            if m:
+                h, mi, s = map(int, m.group(1).split(":"))
+                rows.append((h * 3600 + mi * 60 + s, int(m.group(2)),
+                             "mean_dice" in line))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--kill-after", type=float, default=75.0)
+    ap.add_argument("--size", type=int, default=256)
+    a = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="rehearsal_")
+    data_root = os.path.join(tmp, "ACDC")
+    print("building 256^2 synthetic ACDC ...", flush=True)
+    subprocess.run([sys.executable, "-c",
+                    "import sys; sys.path.insert(0,'/root/repo');"
+                    "from scripts.dress_rehearsal import build_data;"
+                    f"build_data({data_root!r}, {a.size})"],
+                   check=True, cwd="/root/repo")
+
+    snap_root = os.path.join(tmp, "snap")
+    snap = os.path.join(snap_root, "rehearsal_14_labeled", "unet")
+
+    print(f"run 1: launching, SIGKILL after {a.kill_after}s", flush=True)
+    t0 = time.time()
+    launch(data_root, snap_root, a.iters, kill_after=a.kill_after)
+    ckpts_after_kill = sorted(os.listdir(snap)) if os.path.isdir(snap) \
+        else []
+    print("killed; snapshot now:", ckpts_after_kill, flush=True)
+
+    print("run 2: resuming to completion", flush=True)
+    launch(data_root, snap_root, a.iters)
+    wall = time.time() - t0
+
+    rows = parse_log(snap)
+    # sustained window: from the first logged iteration AFTER the resume
+    # run's compile (first row of the second run) to the end; include all
+    # val stalls inside the window.
+    # detect the restart: iteration number repeats/decreases or a large
+    # time gap; simplest robust cut: last monotone segment
+    seg_start = 0
+    for i in range(1, len(rows)):
+        if rows[i][1] <= rows[i - 1][1]:
+            seg_start = i
+    seg = rows[seg_start:]
+    train_rows = [r for r in seg if not r[2]]
+    (t_a, it_a, _), (t_b, it_b, _) = train_rows[1], train_rows[-1]
+    dt_s = t_b - t_a
+    slices = (it_b - it_a) * 24
+    sustained = slices / dt_s if dt_s > 0 else float("nan")
+
+    files = sorted(os.listdir(snap))
+    report = {
+        "config": "mean_teacher unet 24x256^2, device store + scan",
+        "iterations": a.iters,
+        "killed_after_s": a.kill_after,
+        "resumed_from": [f for f in ckpts_after_kill
+                         if f.startswith("model_iter_")],
+        "sustained_slices_per_sec_incl_val": round(sustained, 1),
+        "window_iters": [it_a, it_b],
+        "window_seconds": dt_s,
+        "total_wall_s": round(wall, 1),
+        "artifacts": files,
+        "snapshot": snap,
+    }
+    print(json.dumps(report, indent=1), flush=True)
+
+    md = f"""# Production dress rehearsal (round 4)
+
+One logged end-to-end `fit()` run at the north-star config on the real
+chip, with a mid-run SIGKILL + resume (VERDICT r3 item 4).
+
+- **Config**: mean_teacher UNet, batch 24 @ 256^2, labeled_num 14,
+  device-resident store, `train_steps_scan`, val every 200 (16 synthetic
+  volumes), ckpt every 500 — `scripts/dress_rehearsal.py`.
+- **Kill + resume**: SIGKILL at ~{a.kill_after:.0f}s; the relaunch resumed
+  from `{', '.join(report['resumed_from']) or 'scratch'}` (full train
+  state incl. best_dice) and ran to {a.iters} iterations.
+- **Sustained throughput** (log-timestamp window iters
+  {it_a}->{it_b}, INCLUDING validation stalls, excluding compile):
+  **{sustained:.0f} slices/sec/chip** (target >= 700).
+- **Artifacts** (reference naming contract): {len(files)} files incl.
+  `iter_*_dice_*.ckpt`, `unet_best_model.ckpt`, `model_iter_*.ckpt`,
+  `iter_*.ckpt` student weights, `ema_model_iter_*.ckpt` teacher weights,
+  `log.txt`, TB events under `log/`.
+- Run UTC: {dt.datetime.utcnow().isoformat(timespec='seconds')}.
+
+```json
+{json.dumps({k: v for k, v in report.items() if k != 'artifacts'},
+            indent=1)}
+```
+"""
+    with open("/root/repo/docs/DRESS_REHEARSAL.md", "w") as f:
+        f.write(md)
+    print("wrote docs/DRESS_REHEARSAL.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

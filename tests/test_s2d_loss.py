@@ -153,6 +153,43 @@ def test_logits_f32_false_unet3d():
 # mean_teacher (their extra logit uses — MC reshape over leading axes,
 # mixup on inputs — don't touch the spatial layout); kept out of the
 # parametrization to bound CPU compile time (~4 min per method).
+def test_swin_s2d_logits_step_equivalence(tmp_path):
+    """Cross-teaching with the SwinUnet slot in grouped-logits mode
+    (cfg.swin_s2d_loss_on -> SwinUnet.s2d_logits) vs full-res layout: one
+    train_step, identical metrics and updated params. Thin swin via
+    vit_kwargs to bound CPU compile time."""
+    vit = {"img_size": 64, "window_size": 4, "embed_dim": 24,
+           "num_heads": (2, 4, 6, 8), "drop_path_rate": 0.0}
+    base = TrainConfig(
+        root_path="unused", exp="swins2d", model="unet",
+        method="cross_teaching", num_classes=4, batch_size=8,
+        labeled_bs=4, patch_size=(64, 64), labeled_slices_override=4,
+        snapshot_root=str(tmp_path), s2d_levels=0, dtype="float32",
+        fused_loss=False, device_data=False, num_devices=1,
+        vit_kwargs=vit)
+    cfg_off = dataclasses.replace(base, s2d_loss="off")
+    cfg_on = dataclasses.replace(base, s2d_loss="auto")
+    assert cfg_on.swin_s2d_loss_on() and not cfg_off.swin_s2d_loss_on()
+
+    batch = _batch(np.random.default_rng(5))
+    results = []
+    for cfg in (cfg_off, cfg_on):
+        engine = Engine(cfg)
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = engine.train_step(state, batch)
+        results.append((jax.device_get(state.params),
+                        jax.device_get(metrics)))
+    (p_off, m_off), (p_on, m_on) = results
+    for k in m_off:
+        np.testing.assert_allclose(m_off[k], m_on[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=f"metric {k}")
+    flat_off = jax.tree_util.tree_leaves_with_path(p_off)
+    flat_on = jax.tree_util.tree_leaves(p_on)
+    for (path, a), b in zip(flat_off, flat_on):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 @pytest.mark.parametrize("method", ["supervised", "mean_teacher",
                                     "cps", "fixmatch"])
 def test_s2d_loss_step_equivalence(method, tmp_path):

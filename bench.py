@@ -67,7 +67,9 @@ def main():
     from cvssl_tpu.data.sampler import TwoStreamBatchSampler
     from cvssl_tpu.train.config import TrainConfig
     from cvssl_tpu.train.engine import Engine
+    from cvssl_tpu.utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     batch_size = 24
     cfg = TrainConfig(
         method="mean_teacher", model="unet", num_classes=4,
@@ -121,6 +123,8 @@ def bench_cross_teaching():
     """North-star #4: cross-teaching UNet + SwinUnet-tiny train step at
     224^2 (reference ``train_cross_teaching_between_cnn_transformer_2D.py``
     config: batch 16 = 8 labeled + 8 unlabeled)."""
+    from cvssl_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     from cvssl_tpu.train.config import TrainConfig
     from cvssl_tpu.train.engine import Engine
@@ -155,6 +159,8 @@ def bench_cross_teaching():
 
 def bench_sliding_window():
     """Secondary metric (BASELINE.md): BraTS sliding-window volumes/sec."""
+    from cvssl_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from cvssl_tpu.eval.val3d import SlidingWindowEvaluator
@@ -199,6 +205,8 @@ def bench_uamt_3d():
     """North-star #5: 3D UAMT UNet3D train step, BraTS config (batch 4 =
     2 labeled + 2 unlabeled, 96^3 patches, 2 classes —
     ``train_uncertainty_aware_mean_teacher_3D.py:40-53``)."""
+    from cvssl_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     from cvssl_tpu.train.config import TrainConfig
     from cvssl_tpu.train.engine import Engine

@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "process_count when --distributed")
     p.add_argument("--scan_steps", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--compile_cache", type=str, default=d.compile_cache,
+                   help="persistent XLA compile cache dir; auto = "
+                        "~/.cache/cvssl_tpu/jax, off = disable")
     return p
 
 
@@ -100,7 +103,8 @@ def config_from_args(args) -> TrainConfig:
         dtype=args.dtype, s2d_levels=args.s2d_levels, dim=args.dim,
         num_devices=args.num_devices, dcn_slices=args.dcn_slices,
         scan_steps=args.scan_steps,
-        profile_dir=args.profile_dir, pretrained_ckpt=args.pretrained_ckpt)
+        profile_dir=args.profile_dir, pretrained_ckpt=args.pretrained_ckpt,
+        compile_cache=args.compile_cache)
 
 
 def main(argv=None):

@@ -99,6 +99,11 @@ class TrainConfig:
     dcn_slices: Optional[int] = None   # fold the mesh as (dcn, data) —
                                        # outer axis = hosts/pod slices
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    compile_cache: Optional[str] = "auto"  # persistent XLA compilation
+    # cache dir; "auto" = ~/.cache/cvssl_tpu/jax (works over the axon
+    # relay: remote compiles are ~650 s cold for the full train step, and
+    # the serialized executable replays in <1 s — this is what makes
+    # kill+resume production-viable). None/"off" disables.
 
     @property
     def labeled_slices(self) -> int:

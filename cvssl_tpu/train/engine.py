@@ -450,6 +450,8 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
         max_steps: Optional[int] = None) -> dict:
     """Train per the reference protocol: val every ``val_every`` iters, best
     checkpoint on mean dice, periodic full-state checkpoints."""
+    from cvssl_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(cfg.compile_cache)
     engine = engine or Engine(cfg)
     snapshot = cfg.snapshot_path()
     logger = setup_logging(snapshot)

@@ -30,7 +30,8 @@ def build_data(root, size=256):
                                num_val=16, size=size)
 
 
-def launch(root, snap_root, iters, kill_after=None):
+def launch(root, snap_root, iters, kill_on_ckpt=False, snap=None,
+           timeout=3600):
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     cmd = [sys.executable, "-m", "cvssl_tpu.train.cli",
@@ -39,14 +40,26 @@ def launch(root, snap_root, iters, kill_after=None):
            "--max_iterations", str(iters), "--batch_size", "24",
            "--labeled_bs", "12", "--patch_size", "256", "256",
            "--labeled_num", "14", "--val_every", "200",
-           "--ckpt_every", "500", "--snapshot_root", snap_root]
+           "--ckpt_every", "500", "--scan_steps", "10",
+           "--snapshot_root", snap_root]
     p = subprocess.Popen(cmd, env=env, cwd="/tmp",
                          stdout=subprocess.DEVNULL,
                          stderr=subprocess.DEVNULL)
-    if kill_after is None:
+    if not kill_on_ckpt:
         p.wait()
         return None
-    time.sleep(kill_after)
+    # SIGKILL shortly after the first full train-state checkpoint lands so
+    # the relaunch demonstrably resumes mid-run (a fixed timer raced the
+    # cold-compile window and killed before any checkpoint existed)
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if p.poll() is not None:
+            return p.returncode
+        if snap and os.path.isdir(snap) and any(
+                f.startswith("model_iter_") for f in os.listdir(snap)):
+            time.sleep(5.0)
+            break
+        time.sleep(1.0)
     p.send_signal(signal.SIGKILL)
     p.wait()
     return p.returncode
@@ -85,9 +98,10 @@ def main():
     snap_root = os.path.join(tmp, "snap")
     snap = os.path.join(snap_root, "rehearsal_14_labeled", "unet")
 
-    print(f"run 1: launching, SIGKILL after {a.kill_after}s", flush=True)
+    print("run 1: launching, SIGKILL after the first checkpoint",
+          flush=True)
     t0 = time.time()
-    launch(data_root, snap_root, a.iters, kill_after=a.kill_after)
+    launch(data_root, snap_root, a.iters, kill_on_ckpt=True, snap=snap)
     ckpts_after_kill = sorted(os.listdir(snap)) if os.path.isdir(snap) \
         else []
     print("killed; snapshot now:", ckpts_after_kill, flush=True)
@@ -115,9 +129,8 @@ def main():
 
     files = sorted(os.listdir(snap))
     report = {
-        "config": "mean_teacher unet 24x256^2, device store + scan",
+        "config": "mean_teacher unet 24x256^2, device store + scan_steps 10",
         "iterations": a.iters,
-        "killed_after_s": a.kill_after,
         "resumed_from": [f for f in ckpts_after_kill
                          if f.startswith("model_iter_")],
         "sustained_slices_per_sec_incl_val": round(sustained, 1),
@@ -135,10 +148,12 @@ One logged end-to-end `fit()` run at the north-star config on the real
 chip, with a mid-run SIGKILL + resume (VERDICT r3 item 4).
 
 - **Config**: mean_teacher UNet, batch 24 @ 256^2, labeled_num 14,
-  device-resident store, `train_steps_scan`, val every 200 (16 synthetic
-  volumes), ckpt every 500 — `scripts/dress_rehearsal.py`.
-- **Kill + resume**: SIGKILL at ~{a.kill_after:.0f}s; the relaunch resumed
-  from `{', '.join(report['resumed_from']) or 'scratch'}` (full train
+  device-resident store, `--scan_steps 10`, val every 200 (16 synthetic
+  volumes, on-device EDT metrics), ckpt every 500, persistent compile
+  cache — `scripts/dress_rehearsal.py`.
+- **Kill + resume**: SIGKILL ~5 s after the first full-state checkpoint
+  landed; the relaunch resumed from
+  `{', '.join(report['resumed_from']) or 'scratch'}` (full train
   state incl. best_dice) and ran to {a.iters} iterations.
 - **Sustained throughput** (log-timestamp window iters
   {it_a}->{it_b}, INCLUDING validation stalls, excluding compile):

@@ -142,7 +142,11 @@ def bench_cross_teaching():
     state = engine.init_state(jax.random.PRNGKey(0), b)
     state, metrics = engine.train_steps_fixed(state, b, 10)
     float(metrics["loss"])  # fetch-forced sync (see module docstring)
-    n = 20
+    # measure MEASURE_STEPS (same window as the headline bench): at 20
+    # steps/fetch the ~60-90 ms dispatch+fetch tunnel latency was adding
+    # ~7 ms/step of pure measurement overhead the production scan path
+    # (async dispatch, one fetch per K) does not pay
+    n = MEASURE_STEPS
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()

@@ -143,6 +143,42 @@ def convert_efficientnet_encoder(sd: Dict[str, np.ndarray],
     return params, stats
 
 
+def convert_effiunet_full(sd: Dict[str, np.ndarray],
+                          width: float = 1.2, depth: float = 1.4
+                          ) -> Tuple[dict, dict]:
+    """Full reference ``Effi_UNet`` state_dict (``efficientunet.py:141-216``:
+    ``encoder.*`` efficientnet-b3 + ``decoder.blocks.N.convK`` Conv2dReLU
+    pairs + ``classifier``) -> params/batch_stats for ``EffiUNet``.
+
+    A 1-channel stem conv (the reference's ``patch_first_conv`` sums the RGB
+    kernel for ``in_channels=1``, ``efficient_encoder.py:36-67``) is mapped
+    to kernel/3 tiled back to 3 input channels: our model tiles the input
+    instead, and conv(tile(x), W/3 tiled) == conv(x, W) exactly."""
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    stem = enc_sd["_conv_stem.weight"]
+    if stem.shape[1] == 1:
+        enc_sd["_conv_stem.weight"] = np.repeat(stem / 3.0, 3, axis=1)
+    enc_p, enc_s = convert_efficientnet_encoder(enc_sd, width, depth)
+    params: dict = {"EfficientNetEncoder_0": enc_p}
+    stats: dict = {"EfficientNetEncoder_0": enc_s}
+    i = 0
+    while f"decoder.blocks.{i}.conv1.0.weight" in sd:
+        bp: dict = {}
+        bs: dict = {}
+        for j, tag in enumerate(("conv1", "conv2")):
+            pre = f"decoder.blocks.{i}.{tag}"
+            bp[f"Conv_{j}"] = _conv(sd, f"{pre}.0.weight")
+            p, s = _bn(sd, f"{pre}.1")
+            bp[f"BatchNorm_{j}"] = p
+            bs[f"BatchNorm_{j}"] = s
+        params[f"DecoderBlock_{i}"] = bp
+        stats[f"DecoderBlock_{i}"] = bs
+        i += 1
+    params["Conv_0"] = _conv_b(sd, "classifier")
+    return params, stats
+
+
 def maybe_load_encoder(module, params: dict, batch_stats: dict,
                        sd: Dict[str, np.ndarray]):
     """If ``module`` is PreUNet / EffiUNet, replace its encoder subtree with

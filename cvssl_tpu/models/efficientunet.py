@@ -36,6 +36,17 @@ def _bn(train):
                         epsilon=1e-3)
 
 
+def _same_pad(ih: int, k: int, s: int) -> Tuple[Tuple[int, int], ...]:
+    """efficientnet_pytorch ``Conv2dStaticSamePadding`` amounts for a square
+    STATIC size ``ih`` (B3: image_size=300, threaded through the stages via
+    ceil-division — NOT the runtime input size). TF-SAME splits the total
+    pad as (pad//2, pad - pad//2), which is ASYMMETRIC (0, 1) for the three
+    even-size stride-2 k3 convs (stem, stage-2 and stage-4 first blocks)."""
+    oh = -(-ih // s)
+    pad = max((oh - 1) * s + k - ih, 0)
+    return ((pad // 2, pad - pad // 2),) * 2
+
+
 class MBConv(nn.Module):
     """Mobile inverted bottleneck with squeeze-excite + swish."""
     in_channels: int
@@ -45,6 +56,8 @@ class MBConv(nn.Module):
     expand_ratio: int
     se_ratio: float = 0.25
     drop_rate: float = 0.0
+    static_size: int = 0  # STATIC input size for TF-SAME padding (B3: the
+    # image_size-300 ladder 150/75/38/19/10, matching Conv2dStaticSamePadding)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -54,8 +67,9 @@ class MBConv(nn.Module):
         if self.expand_ratio != 1:
             h = nn.swish(_bn(train)(nn.Conv(c, (1, 1), use_bias=False)(h)))
         h = nn.Conv(c, (self.kernel, self.kernel), strides=self.stride,
-                    padding=self.kernel // 2, feature_group_count=c,
-                    use_bias=False)(h)
+                    padding=_same_pad(self.static_size, self.kernel,
+                                      self.stride),
+                    feature_group_count=c, use_bias=False)(h)
         h = nn.swish(_bn(train)(h))
         # squeeze-excite on the ORIGINAL input channel count * ratio
         se_ch = max(1, int(self.in_channels * self.se_ratio))
@@ -82,17 +96,30 @@ _B0_STAGES = ((1, 3, 1, 16, 1), (6, 3, 2, 24, 2), (6, 5, 2, 40, 2),
 
 
 class EfficientNetEncoder(nn.Module):
-    """Returns 5 feature maps at reductions 2/4/8/16/32 (smp contract)."""
+    """Returns 5 feature maps at reductions 2/4/8/16/32: the STEM output
+    plus the block outputs at the reference's B3 ``stage_idxs`` (5, 8, 18)
+    + final (``efficient_encoder.py:76,85-102,152-158`` — for B3 these are
+    exactly the last blocks of stages 2, 3 and 5). Note the r2 skip is the
+    40-channel stem, NOT the 24-channel stage-1 output (out_channels
+    ``(3, 40, 32, 48, 136, 384)``, :156).
+
+    TF-SAME padding follows ``Conv2dStaticSamePadding`` at the B3 static
+    image_size=300 ladder regardless of the runtime input size (what
+    efficientnet_pytorch >=0.7 does — pads are baked per layer at
+    construction)."""
     width: float = 1.2   # B3
     depth: float = 1.4
     drop_connect: float = 0.2
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        size = 300  # static TF-SAME ladder (B3 image_size), NOT x.shape
         stem = _round_filters(32, self.width)
-        h = nn.swish(_bn(train)(nn.Conv(stem, (3, 3), strides=2, padding=1,
+        h = nn.swish(_bn(train)(nn.Conv(stem, (3, 3), strides=2,
+                                        padding=_same_pad(size, 3, 2),
                                         use_bias=False)(x)))
-        feats = []
+        size = -(-size // 2)
+        feats = [h]  # reduction 2 = the stem output
         total_blocks = sum(_round_repeats(r, self.depth)
                            for *_, r in _B0_STAGES)
         block_idx = 0
@@ -102,12 +129,17 @@ class EfficientNetEncoder(nn.Module):
             repeats = _round_repeats(r, self.depth)
             for j in range(repeats):
                 stride = s if j == 0 else 1
-                if stride == 2:
-                    # smp taps features right before each downsampling stage
+                if stride == 2 and si > 1:
+                    # taps at the reference stage_idxs = the outputs feeding
+                    # each later downsample (stage-2's input is NOT tapped:
+                    # its resolution skip is the stem above)
                     feats.append(h)
                 h = MBConv(in_ch, out_ch, k, stride, t,
                            drop_rate=self.drop_connect * block_idx /
-                           total_blocks)(h, train=train)
+                           total_blocks,
+                           static_size=size)(h, train=train)
+                if stride == 2:
+                    size = -(-size // 2)
                 in_ch = out_ch
                 block_idx += 1
         feats.append(h)  # reduction 32

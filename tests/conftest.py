@@ -53,7 +53,7 @@ _PARITY_FILES = {
     "test_torch_parity.py", "test_reference_loss_parity.py",
     "test_gan_scaffolding.py", "test_swin_checkpoint.py",
     "test_cnn_checkpoint.py", "test_cross_teaching_vit.py",
-    "test_monai_parity.py",
+    "test_monai_parity.py", "test_effnet_parity.py",
 }
 _SLOW_FILES = {
     "test_s2d_3d.py", "test_models_3d.py", "test_swin_unet.py",

@@ -63,9 +63,28 @@ def evaluate(dataset, predict_fn, classes: int,
         device_metrics = jax.default_backend() != "cpu"
     if device_metrics:
         from cvssl_tpu.ops import edt
+        samples = [dataset[i] for i in range(len(dataset))]
+        shapes = {tuple(s["image"].shape) for s in samples}
+        if len(shapes) == 1 and next(iter(shapes))[1:] == tuple(patch_size):
+            # all-device path (uniform val sets at patch resolution, no
+            # zoom): ONE forward dispatch for every slice of every volume
+            # and the predictions never leave the device — the per-volume
+            # loop paid a D2H prediction fetch + re-upload per volume
+            # (~1.9 s of a ~2 s val pass through the tunnel at 16 volumes)
+            n = len(samples)
+            sv, xv, yv = next(iter(shapes))
+            flat = _bucket(n * sv)
+            batch = np.zeros((flat, xv, yv, 1), np.float32)
+            batch[:n * sv, ..., 0] = np.stack(
+                [s["image"] for s in samples]).reshape(n * sv, xv, yv)
+            preds = predict_fn(batch)[:n * sv].reshape(n, sv, xv, yv)
+            labels = np.stack([np.asarray(s["label"])
+                               for s in samples]).astype(np.uint8)
+            out = np.asarray(edt._jitted_val_metrics(
+                (sv, xv, yv), classes)(preds.astype(np.uint8), labels))
+            return out.sum(axis=0) / n
         preds, labels = [], []
-        for i in range(len(dataset)):
-            sample = dataset[i]
+        for sample in samples:
             preds.append(_predict_volume(sample["image"], predict_fn,
                                          patch_size).astype(np.uint8))
             labels.append(np.asarray(sample["label"]).astype(np.uint8))

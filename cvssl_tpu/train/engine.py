@@ -537,6 +537,7 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
 
     max_iterations = max_steps or cfg.max_iterations
     batch = first
+    saver = ckpt.AsyncWriter()
     t0 = time.time()
     images_seen = 0
 
@@ -604,44 +605,61 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
                             it, name, mean_dice, mean_hd95)
                 if mean_dice > best_dice[name]:
                     best_dice[name] = float(mean_dice)
-                    host_params = ckpt.to_host(state.params[name])
+                    # device-side copy + background write: the D2H fetch no
+                    # longer stalls the step loop (see ckpt.AsyncWriter)
+                    snap_params = ckpt.device_snapshot(state.params[name])
                     # reference naming: iter_{k}_dice_{d} + {model}_best_model
                     # (dual-model runs prefix with the model slot name,
                     # train_cross_pseudo_supervision_2D.py:260-266)
                     prefix = "" if name == "model" else f"{name}_"
-                    ckpt.save_weights(os.path.join(
+                    dice_path = os.path.join(
                         snapshot,
-                        f"{prefix}iter_{it}_dice_{mean_dice:.4f}.ckpt"),
-                        host_params)
+                        f"{prefix}iter_{it}_dice_{mean_dice:.4f}.ckpt")
                     best_name = (f"{cfg.model}_best_model.ckpt"
                                  if name == "model"
                                  else f"{cfg.model}_best_{name}.ckpt")
-                    ckpt.save_weights(os.path.join(snapshot, best_name),
-                                      host_params)
+                    best_path = os.path.join(snapshot, best_name)
+
+                    def _save_best(p=snap_params, a=dice_path, b=best_path):
+                        host_params = ckpt.to_host(p)
+                        ckpt.save_weights(a, host_params)
+                        ckpt.save_weights(b, host_params)
+                    saver.submit(_save_best)
 
         if it % cfg.ckpt_every == 0:
-            ckpt.save_train_state(snapshot, ckpt.to_host(state), it,
-                                  meta={"best_dice": dict(best_dice)})
-            # reference weights-file contract
-            # (train_mean_teacher_2D.py:295-304): alongside the full train
-            # state, raw per-interval weights for each student and, for
-            # teacher-bearing methods, its EMA teacher
-            # (ema_model_iter_{k}); dual-model slots keep their prefix.
-            for name in engine.method.eval_model_names():
-                prefix = "" if name == "model" else f"{name}_"
-                ckpt.save_weights(
-                    os.path.join(snapshot, f"{prefix}iter_{it}.ckpt"),
-                    ckpt.to_host(state.params[name]))
-            for name in engine.method.teacher_names:
-                prefix = "" if name == "model" else f"{name}_"
-                ckpt.save_weights(
-                    os.path.join(snapshot,
-                                 f"{prefix}ema_model_iter_{it}.ckpt"),
-                    ckpt.to_host(state.teacher_params[name]))
-            ckpt.prune_old(snapshot)
+            # one device-side state copy, then fetch + serialize + write +
+            # prune on the background writer (the synchronous version
+            # stalled stepping ~9 s per event through the tunnel)
+            snap_state = ckpt.device_snapshot(state)
+            eval_names = list(engine.method.eval_model_names())
+            teacher_names = list(engine.method.teacher_names)
+            meta = {"best_dice": dict(best_dice)}
+
+            def _save_state(s=snap_state, k=it, m=meta):
+                host = ckpt.to_host(s)
+                ckpt.save_train_state(snapshot, host, k, meta=m)
+                # reference weights-file contract
+                # (train_mean_teacher_2D.py:295-304): alongside the full
+                # train state, raw per-interval weights for each student
+                # and, for teacher-bearing methods, its EMA teacher
+                # (ema_model_iter_{k}); dual-model slots keep their prefix.
+                for name in eval_names:
+                    prefix = "" if name == "model" else f"{name}_"
+                    ckpt.save_weights(
+                        os.path.join(snapshot, f"{prefix}iter_{k}.ckpt"),
+                        host.params[name])
+                for name in teacher_names:
+                    prefix = "" if name == "model" else f"{name}_"
+                    ckpt.save_weights(
+                        os.path.join(snapshot,
+                                     f"{prefix}ema_model_iter_{k}.ckpt"),
+                        host.teacher_params[name])
+                ckpt.prune_old(snapshot)
+            saver.submit(_save_state)
 
     elapsed = time.time() - t0
     throughput = images_seen / elapsed if elapsed > 0 else 0.0
+    saver.close()  # join outstanding checkpoint writes before returning
     if profiler is not None:
         profiler.close()
     writer.close()

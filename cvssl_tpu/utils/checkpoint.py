@@ -84,3 +84,75 @@ def prune_old(snapshot_path: str, keep: int = 2):
 
 def to_host(tree):
     return jax.tree_util.tree_map(lambda x: jax.device_get(x), tree)
+
+
+def device_snapshot(tree):
+    """Device-side copy of a pytree's array leaves (one jitted HBM-to-HBM
+    program; non-array leaves pass through so serialized types are
+    unchanged). The live train state is DONATED to the next step's
+    dispatch, so a checkpoint job that fetches it later would read freed
+    buffers; the copy is independent and can be fetched from a background
+    thread while training continues."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
+    copied = _snapshot_arrays([leaves[i] for i in idx])
+    out = list(leaves)
+    for i, c in zip(idx, copied):
+        out[i] = c
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@jax.jit
+def _snapshot_arrays(xs):
+    import jax.numpy as jnp
+    return [jnp.copy(x) for x in xs]
+
+
+class AsyncWriter:
+    """One background worker running checkpoint jobs in submission order.
+
+    The device->host fetch of a full train state takes seconds on a
+    tunneled runtime (D2H ~25 MB/s); doing it on the training thread
+    stalls stepping (~9 s per periodic checkpoint in the round-4 dress
+    rehearsal). Jobs receive device SNAPSHOTS (``device_snapshot``) and do
+    fetch + serialize + atomic write off-thread. The queue holds at most 2
+    jobs — ``submit`` blocks if the writer falls behind (backpressure
+    instead of unbounded HBM growth). Call ``flush()`` before reading
+    artifacts or returning from fit."""
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._err = None
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                self._q.task_done()
+                return
+            try:
+                job()
+            except Exception as e:  # surface on next submit/flush
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, job) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._q.put(job)
+
+    def flush(self) -> None:
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._q.join()

@@ -79,12 +79,40 @@ def parse_log(snap):
     return rows
 
 
+def sustained_window(rows):
+    """Throughput over the resume run's logged window, val stalls included.
+    The restart boundary is a STRICT iteration decrease (val lines repeat
+    the train line's iteration, so <= would cut at the last val line)."""
+    seg_start = 0
+    for i in range(1, len(rows)):
+        if rows[i][1] < rows[i - 1][1]:
+            seg_start = i
+    seg = rows[seg_start:]
+    train_rows = [r for r in seg if not r[2]]
+    (t_a, it_a, _), (t_b, it_b, _) = train_rows[1], train_rows[-1]
+    dt_s = (t_b - t_a) % 86400
+    slices = (it_b - it_a) * 24
+    return (slices / dt_s if dt_s > 0 else float("nan")), it_a, it_b, dt_s
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--kill-after", type=float, default=75.0)
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--report-only", default=None, metavar="SNAP",
+                    help="skip the runs; rebuild the report from an "
+                         "existing snapshot dir (pass resumed_from as "
+                         "--resumed-from)")
+    ap.add_argument("--resumed-from", default="")
+    ap.add_argument("--wall", type=float, default=0.0)
     a = ap.parse_args()
+
+    if a.report_only:
+        write_report(a.report_only, a.iters,
+                     a.resumed_from.split(",") if a.resumed_from else [],
+                     a.wall)
+        return
 
     tmp = tempfile.mkdtemp(prefix="rehearsal_")
     data_root = os.path.join(tmp, "ACDC")
@@ -110,29 +138,23 @@ def main():
     launch(data_root, snap_root, a.iters)
     wall = time.time() - t0
 
+    write_report(snap, a.iters,
+                 [f for f in ckpts_after_kill
+                  if f.startswith("model_iter_")], wall)
+
+
+def write_report(snap, iters, resumed_from, wall):
     rows = parse_log(snap)
     # sustained window: from the first logged iteration AFTER the resume
     # run's compile (first row of the second run) to the end; include all
     # val stalls inside the window.
-    # detect the restart: iteration number repeats/decreases or a large
-    # time gap; simplest robust cut: last monotone segment
-    seg_start = 0
-    for i in range(1, len(rows)):
-        if rows[i][1] <= rows[i - 1][1]:
-            seg_start = i
-    seg = rows[seg_start:]
-    train_rows = [r for r in seg if not r[2]]
-    (t_a, it_a, _), (t_b, it_b, _) = train_rows[1], train_rows[-1]
-    dt_s = t_b - t_a
-    slices = (it_b - it_a) * 24
-    sustained = slices / dt_s if dt_s > 0 else float("nan")
+    sustained, it_a, it_b, dt_s = sustained_window(rows)
 
     files = sorted(os.listdir(snap))
     report = {
         "config": "mean_teacher unet 24x256^2, device store + scan_steps 10",
-        "iterations": a.iters,
-        "resumed_from": [f for f in ckpts_after_kill
-                         if f.startswith("model_iter_")],
+        "iterations": iters,
+        "resumed_from": resumed_from,
         "sustained_slices_per_sec_incl_val": round(sustained, 1),
         "window_iters": [it_a, it_b],
         "window_seconds": dt_s,
@@ -154,7 +176,7 @@ chip, with a mid-run SIGKILL + resume (VERDICT r3 item 4).
 - **Kill + resume**: SIGKILL ~5 s after the first full-state checkpoint
   landed; the relaunch resumed from
   `{', '.join(report['resumed_from']) or 'scratch'}` (full train
-  state incl. best_dice) and ran to {a.iters} iterations.
+  state incl. best_dice) and ran to {iters} iterations.
 - **Sustained throughput** (log-timestamp window iters
   {it_a}->{it_b}, INCLUDING validation stalls, excluding compile):
   **{sustained:.0f} slices/sec/chip** (target >= 700).

@@ -1,5 +1,13 @@
 """CTAugment (control-theory augmentation, FixMatch) — host-side, PIL.
 
+Provenance: CTAugment originates in Google Research's FixMatch
+(https://github.com/google-research/fixmatch, Apache License 2.0,
+Copyright 2019 Google LLC); the reference vendors that file with its
+Apache-2.0 header intact (``code/augmentations/ctaugment.py:1-16``).
+This module is a behavioral reimplementation of the same algorithm —
+the op registry, bin counts, and rate-update constants match the
+Apache-2.0 original by necessity.
+
 Behavioral parity with ``code/augmentations/ctaugment.py`` and the
 ``CTATransform`` in ``code/dataloaders/dataset.py:153-190``:
 

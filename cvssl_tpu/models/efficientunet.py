@@ -113,6 +113,12 @@ class EfficientNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        if (self.width, self.depth) != (1.2, 1.4):
+            raise NotImplementedError(
+                "EfficientNetEncoder hardcodes the B3 static TF-SAME pad "
+                "ladder (image_size=300) and B3 stage-boundary feature "
+                f"taps; got width={self.width} depth={self.depth}. Other "
+                "coefficients would silently produce wrong pads/taps.")
         size = 300  # static TF-SAME ladder (B3 image_size), NOT x.shape
         stem = _round_filters(32, self.width)
         h = nn.swish(_bn(train)(nn.Conv(stem, (3, 3), strides=2,

@@ -559,103 +559,114 @@ def fit(cfg: TrainConfig, engine: Optional[Engine] = None,
     scan_k = cfg.scan_steps if use_store else 1
 
     it = int(state.step)
-    while it < max_iterations:
-        if use_store and scan_k > 1:
-            def _dist(c):
-                return c - (it % c)
-            n = min(scan_k, _dist(cfg.log_every), _dist(cfg.val_every),
-                    _dist(cfg.ckpt_every), max_iterations - it)
-            idx_mat = [next(index_stream) for _ in range(n)]
-            state, metrics = engine.train_steps_scan(state, idx_mat)
-            it += n - 1
-            images_seen += (n - 1) * cfg.batch_size
-        elif use_store:
-            state, metrics = engine.train_step_indices(
-                state, next(index_stream))
-        else:
+    try:
+        while it < max_iterations:
+            if use_store and scan_k > 1:
+                def _dist(c):
+                    return c - (it % c)
+                n = min(scan_k, _dist(cfg.log_every), _dist(cfg.val_every),
+                        _dist(cfg.ckpt_every), max_iterations - it)
+                idx_mat = [next(index_stream) for _ in range(n)]
+                state, metrics = engine.train_steps_scan(state, idx_mat)
+                it += n - 1
+                images_seen += (n - 1) * cfg.batch_size
+            elif use_store:
+                state, metrics = engine.train_step_indices(
+                    state, next(index_stream))
+            else:
+                if has_cta_hooks:
+                    engine.method.on_batch(batch, train_ds)
+                state, metrics = engine.train_step(state, batch)
+                batch = next(stream)
+            it += 1
+            images_seen += cfg.batch_size
+
+            if profiler is not None:
+                profiler.tick(it, metrics)
+
             if has_cta_hooks:
-                engine.method.on_batch(batch, train_ds)
-            state, metrics = engine.train_step(state, batch)
-            batch = next(stream)
-        it += 1
-        images_seen += cfg.batch_size
+                engine.method.on_step_metrics(metrics)
+                if it % iters_per_epoch == 0:
+                    engine.method.on_epoch_end(train_ds)
+                    engine.method.on_epoch_start(train_ds, it)
 
-        if profiler is not None:
-            profiler.tick(it, metrics)
+            if it % cfg.log_every == 0 or it == 1:
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                writer.add_scalars({f"info/{k}": v for k, v in host.items()}, it)
+                logger.info("iteration %d : %s", it, " ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(host.items())))
 
-        if has_cta_hooks:
-            engine.method.on_step_metrics(metrics)
-            if it % iters_per_epoch == 0:
-                engine.method.on_epoch_end(train_ds)
-                engine.method.on_epoch_start(train_ds, it)
+            if it % cfg.val_every == 0:
+                for name in engine.method.eval_model_names():
+                    perf = engine.validate(state, val_ds, name)
+                    mean_dice, mean_hd95 = perf[:, 0].mean(), perf[:, 1].mean()
+                    writer.add_scalar(f"info/{name}_val_mean_dice", mean_dice, it)
+                    writer.add_scalar(f"info/{name}_val_mean_hd95", mean_hd95, it)
+                    logger.info("iteration %d : %s mean_dice %.4f mean_hd95 %.4f",
+                                it, name, mean_dice, mean_hd95)
+                    if mean_dice > best_dice[name]:
+                        best_dice[name] = float(mean_dice)
+                        # device-side copy + background write: the D2H fetch no
+                        # longer stalls the step loop (see ckpt.AsyncWriter)
+                        snap_params = ckpt.device_snapshot(state.params[name])
+                        # reference naming: iter_{k}_dice_{d} + {model}_best_model
+                        # (dual-model runs prefix with the model slot name,
+                        # train_cross_pseudo_supervision_2D.py:260-266)
+                        prefix = "" if name == "model" else f"{name}_"
+                        dice_path = os.path.join(
+                            snapshot,
+                            f"{prefix}iter_{it}_dice_{mean_dice:.4f}.ckpt")
+                        best_name = (f"{cfg.model}_best_model.ckpt"
+                                     if name == "model"
+                                     else f"{cfg.model}_best_{name}.ckpt")
+                        best_path = os.path.join(snapshot, best_name)
 
-        if it % cfg.log_every == 0 or it == 1:
-            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            writer.add_scalars({f"info/{k}": v for k, v in host.items()}, it)
-            logger.info("iteration %d : %s", it, " ".join(
-                f"{k}={v:.4f}" for k, v in sorted(host.items())))
+                        def _save_best(p=snap_params, a=dice_path, b=best_path):
+                            host_params = ckpt.to_host(p)
+                            ckpt.save_weights(a, host_params)
+                            ckpt.save_weights(b, host_params)
+                        saver.submit(_save_best)
 
-        if it % cfg.val_every == 0:
-            for name in engine.method.eval_model_names():
-                perf = engine.validate(state, val_ds, name)
-                mean_dice, mean_hd95 = perf[:, 0].mean(), perf[:, 1].mean()
-                writer.add_scalar(f"info/{name}_val_mean_dice", mean_dice, it)
-                writer.add_scalar(f"info/{name}_val_mean_hd95", mean_hd95, it)
-                logger.info("iteration %d : %s mean_dice %.4f mean_hd95 %.4f",
-                            it, name, mean_dice, mean_hd95)
-                if mean_dice > best_dice[name]:
-                    best_dice[name] = float(mean_dice)
-                    # device-side copy + background write: the D2H fetch no
-                    # longer stalls the step loop (see ckpt.AsyncWriter)
-                    snap_params = ckpt.device_snapshot(state.params[name])
-                    # reference naming: iter_{k}_dice_{d} + {model}_best_model
-                    # (dual-model runs prefix with the model slot name,
-                    # train_cross_pseudo_supervision_2D.py:260-266)
-                    prefix = "" if name == "model" else f"{name}_"
-                    dice_path = os.path.join(
-                        snapshot,
-                        f"{prefix}iter_{it}_dice_{mean_dice:.4f}.ckpt")
-                    best_name = (f"{cfg.model}_best_model.ckpt"
-                                 if name == "model"
-                                 else f"{cfg.model}_best_{name}.ckpt")
-                    best_path = os.path.join(snapshot, best_name)
+            if it % cfg.ckpt_every == 0:
+                # one device-side state copy, then fetch + serialize + write +
+                # prune on the background writer (the synchronous version
+                # stalled stepping ~9 s per event through the tunnel)
+                snap_state = ckpt.device_snapshot(state)
+                eval_names = list(engine.method.eval_model_names())
+                teacher_names = list(engine.method.teacher_names)
+                meta = {"best_dice": dict(best_dice)}
 
-                    def _save_best(p=snap_params, a=dice_path, b=best_path):
-                        host_params = ckpt.to_host(p)
-                        ckpt.save_weights(a, host_params)
-                        ckpt.save_weights(b, host_params)
-                    saver.submit(_save_best)
-
-        if it % cfg.ckpt_every == 0:
-            # one device-side state copy, then fetch + serialize + write +
-            # prune on the background writer (the synchronous version
-            # stalled stepping ~9 s per event through the tunnel)
-            snap_state = ckpt.device_snapshot(state)
-            eval_names = list(engine.method.eval_model_names())
-            teacher_names = list(engine.method.teacher_names)
-            meta = {"best_dice": dict(best_dice)}
-
-            def _save_state(s=snap_state, k=it, m=meta):
-                host = ckpt.to_host(s)
-                ckpt.save_train_state(snapshot, host, k, meta=m)
-                # reference weights-file contract
-                # (train_mean_teacher_2D.py:295-304): alongside the full
-                # train state, raw per-interval weights for each student
-                # and, for teacher-bearing methods, its EMA teacher
-                # (ema_model_iter_{k}); dual-model slots keep their prefix.
-                for name in eval_names:
-                    prefix = "" if name == "model" else f"{name}_"
-                    ckpt.save_weights(
-                        os.path.join(snapshot, f"{prefix}iter_{k}.ckpt"),
-                        host.params[name])
-                for name in teacher_names:
-                    prefix = "" if name == "model" else f"{name}_"
-                    ckpt.save_weights(
-                        os.path.join(snapshot,
-                                     f"{prefix}ema_model_iter_{k}.ckpt"),
-                        host.teacher_params[name])
-                ckpt.prune_old(snapshot)
-            saver.submit(_save_state)
+                def _save_state(s=snap_state, k=it, m=meta):
+                    host = ckpt.to_host(s)
+                    ckpt.save_train_state(snapshot, host, k, meta=m)
+                    # reference weights-file contract
+                    # (train_mean_teacher_2D.py:295-304): alongside the full
+                    # train state, raw per-interval weights for each student
+                    # and, for teacher-bearing methods, its EMA teacher
+                    # (ema_model_iter_{k}); dual-model slots keep their prefix.
+                    for name in eval_names:
+                        prefix = "" if name == "model" else f"{name}_"
+                        ckpt.save_weights(
+                            os.path.join(snapshot, f"{prefix}iter_{k}.ckpt"),
+                            host.params[name])
+                    for name in teacher_names:
+                        prefix = "" if name == "model" else f"{name}_"
+                        ckpt.save_weights(
+                            os.path.join(snapshot,
+                                         f"{prefix}ema_model_iter_{k}.ckpt"),
+                            host.teacher_params[name])
+                    ckpt.prune_old(snapshot)
+                saver.submit(_save_state)
+    except BaseException:
+        # a failed step/validation must not strand queued checkpoint jobs
+        # on the daemon thread (the latest full-state ckpt would silently
+        # never land); drain the writer but never mask the original error.
+        try:
+            saver.close()
+        except Exception:
+            logger.exception("async checkpoint writer also failed "
+                             "during abort")
+        raise
 
     elapsed = time.time() - t0
     throughput = images_seen / elapsed if elapsed > 0 else 0.0

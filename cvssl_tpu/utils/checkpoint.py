@@ -154,5 +154,11 @@ class AsyncWriter:
             raise err
 
     def close(self) -> None:
+        """Drain the queue, stop the worker, and re-raise any stored job
+        error — a failed final checkpoint write (disk full, serialization
+        error) must not let fit() return success silently."""
         self._q.put(None)
         self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err

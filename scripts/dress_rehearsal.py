@@ -89,6 +89,11 @@ def sustained_window(rows):
             seg_start = i
     seg = rows[seg_start:]
     train_rows = [r for r in seg if not r[2]]
+    if len(train_rows) < 3:
+        raise SystemExit(
+            f"sustained_window: need >=3 train log lines after the restart "
+            f"boundary, got {len(train_rows)} (short run or log_every too "
+            f"large for --report-only on this snapshot)")
     (t_a, it_a, _), (t_b, it_b, _) = train_rows[1], train_rows[-1]
     dt_s = (t_b - t_a) % 86400
     slices = (it_b - it_a) * 24

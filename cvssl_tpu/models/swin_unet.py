@@ -101,7 +101,21 @@ class Mlp(nn.Module):
 
 
 class WindowAttention(nn.Module):
-    """W-MSA with relative position bias (reference ``:63-155``)."""
+    """W-MSA with relative position bias (reference ``:63-155``).
+
+    Two layouts, IDENTICAL param tree (qkv/proj Dense act on the last axis
+    either way, so checkpoints are interchangeable):
+
+    * ``grid=False``: the classic (B*nW, ws*ws, C) window batch — input
+      must already be window-partitioned.
+    * ``grid=True``: input stays the 6D (B, hb, ws, wb, ws, C) view — a
+      FREE reshape of the (B, H, W, C) token map (axis splits never copy).
+      The attention einsums carry (B, hb, wb) as batch axes and (i, j) x
+      (k, l) as the window token axes, so neither window partition/reverse
+      (two full-tensor transposes each) nor the qkv 5D transpose exists in
+      the program. The round-4 cross-teaching census put 21 of 56 ms/step
+      in exactly those copies (scripts/probe_swin_attn.py).
+    """
     dim: int
     window_size: int
     num_heads: int
@@ -110,22 +124,9 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Any = None
+    grid: bool = False
 
-    @nn.compact
-    def __call__(self, x, mask: Optional[np.ndarray] = None, *,
-                 train: bool = False):
-        b_, n, c = x.shape
-        heads = self.num_heads
-        head_dim = self.dim // heads
-        scale = self.qk_scale or head_dim ** -0.5
-
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
-                       dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
-
+    def _bias(self, heads: int):
         ws = self.window_size
         table = self.param("relative_position_bias_table",
                            trunc_normal_init,
@@ -135,9 +136,52 @@ class WindowAttention(nn.Module):
         # cost ~20ns/element on TPU (2401 x heads x 24 blocks adds up);
         # the (n^2, table) one-hot is a trace-time constant.
         sel = jnp.asarray(np.eye(table.shape[0], dtype=np.float32)[idx])
-        bias = (sel @ table).reshape(ws * ws, ws * ws, heads
-                                     ).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        return (sel @ table).reshape(ws * ws, ws * ws, heads
+                                     ).transpose(2, 0, 1)  # (heads, n, n)
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None, *,
+                 train: bool = False):
+        heads = self.num_heads
+        head_dim = self.dim // heads
+        scale = self.qk_scale or head_dim ** -0.5
+        ws = self.window_size
+        n = ws * ws
+
+        if self.grid:
+            b, hb, _, wb, _, c = x.shape
+            qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                           dtype=self.dtype, name="qkv")(x)
+            qkv = qkv.reshape(b, hb, ws, wb, ws, 3, heads, head_dim)
+            q = qkv[..., 0, :, :] * scale
+            k = qkv[..., 1, :, :]
+            v = qkv[..., 2, :, :]
+            attn = jnp.einsum("bpiqjhd,bpkqlhd->bpqhijkl", q, k)
+            # merging (i,j)->n and (k,l)->m is free (adjacent axes)
+            attn = attn.reshape(b, hb, wb, heads, n, n).astype(jnp.float32)
+            attn = attn + self._bias(heads)[None, None, None]
+            if mask is not None:
+                # (nW, n, n) with nW == hb*wb enumerated row-major
+                attn = attn + jnp.asarray(mask).reshape(
+                    1, hb, wb, 1, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = attn.astype(self.dtype or jnp.float32)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            attn = attn.reshape(b, hb, wb, heads, ws, ws, ws, ws)
+            out = jnp.einsum("bpqhijkl,bpkqlhd->bpiqjhd",
+                             attn, v.astype(attn.dtype))
+            out = out.reshape(b, hb, ws, wb, ws, c)
+            out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+        b_, n, c = x.shape
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+        attn = attn + self._bias(heads)[None]
 
         if mask is not None:
             nw = mask.shape[0]

@@ -83,7 +83,16 @@ def prune_old(snapshot_path: str, keep: int = 2):
 
 
 def to_host(tree):
-    return jax.tree_util.tree_map(lambda x: jax.device_get(x), tree)
+    """ONE batched device->host transfer for the whole tree.
+
+    ``jax.device_get(tree)`` starts async host copies for every leaf before
+    blocking once; a per-leaf ``tree_map(device_get)`` pays the relay's
+    ~25 ms round-trip latency PER LEAF — measured 8.6 s vs 1.3 s for the
+    ~400-leaf / 21.8 MB mean-teacher train state through the axon tunnel
+    (scripts/probe_val.py). This fetch runs on the AsyncWriter thread but
+    still occupies the serial relay, so its duration directly stalls
+    training dispatches."""
+    return jax.device_get(tree)
 
 
 def device_snapshot(tree):

@@ -101,6 +101,32 @@ class TestEngineStep:
         assert perf.shape == (3, 2)
         assert np.all(np.isfinite(perf))
 
+    def test_resident_val_matches_evaluate(self, acdc_root, tmp_path):
+        # the device-resident val path (upload-once + fused fwd->EDT, used
+        # on TPU) must equal val2d.evaluate's all-device path exactly —
+        # same bucket padding, same jitted metrics, zero re-upload
+        from cvssl_tpu.eval import val2d
+        cfg = small_cfg(acdc_root, tmp_path)
+        engine = Engine(cfg)
+        rng_np = np.random.default_rng(0)
+        ds = SliceDataset(acdc_root, "train",
+                          transform=T.RandomGenerator((64, 64), rng_np))
+        pipe = DataPipeline(ds, ShuffleBatchSampler(len(ds), 8, rng_np))
+        batch = next(iter(pipe))
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        val_ds = SliceDataset(acdc_root, "val")
+        baseline = val2d.evaluate(val_ds, engine.predict_fn("model", state),
+                                  cfg.num_classes, cfg.patch_size,
+                                  device_metrics=True)
+        engine._resident_val = True  # CPU default is off; force the path
+        resident = engine.validate(state, val_ds)
+        store = engine._val_store[(id(val_ds), tuple(cfg.patch_size))]
+        assert store is not None, "resident store should engage here"
+        np.testing.assert_allclose(resident, baseline, rtol=1e-6, atol=1e-6)
+        # second call reuses the cached store (no rebuild)
+        again = engine.validate(state, val_ds)
+        np.testing.assert_array_equal(again, resident)
+
 
 class TestFit:
     def test_fit_supervised_smoke(self, acdc_root, tmp_path):

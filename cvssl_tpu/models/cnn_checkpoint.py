@@ -33,9 +33,11 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             ".pth file via --pretrained_ckpt.")
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    return {k: v.numpy() for k, v in sd.items()}
+    for wrapper in ("state_dict", "model"):  # lightning / Swin-zoo wrappers
+        if isinstance(sd, dict) and wrapper in sd \
+                and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+    return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
 
 
 def _conv(sd, key):
@@ -179,18 +181,50 @@ def convert_effiunet_full(sd: Dict[str, np.ndarray],
     return params, stats
 
 
+def checkpoint_family(sd: Dict[str, np.ndarray]) -> str:
+    """Sniff which published model-zoo schema a state_dict follows, by its
+    signature keys: Swin-tiny (microsoft/Swin-Transformer), EfficientNet
+    (lukemelas/efficientnet_pytorch), Res2Net v1b. 'unknown' otherwise."""
+    if "layers.0.blocks.0.attn.qkv.weight" in sd:
+        return "swin"
+    if "_conv_stem.weight" in sd:
+        return "efficientnet"
+    if "conv1.0.weight" in sd and "layer1.0.convs.0.weight" in sd:
+        return "res2net"
+    return "unknown"
+
+
 def maybe_load_encoder(module, params: dict, batch_stats: dict,
                        sd: Dict[str, np.ndarray]):
-    """If ``module`` is PreUNet / EffiUNet, replace its encoder subtree with
-    the converted torch weights; other modules pass through unchanged."""
+    """Route a loaded torch state_dict into ``module``'s pretrained slot:
+    PreUNet <- Res2Net-101 v1b, EffiUNet <- EfficientNet-B3 (encoder
+    subtree), SwinUnet <- ImageNet Swin-tiny (reference ``load_from``
+    semantics, ``vision_transformer.py:54-89``). Family is sniffed from
+    the key schema so a multi-model run (e.g. cross-teaching UNet +
+    SwinUnet) loads the checkpoint only into the model it belongs to;
+    non-matching modules pass through unchanged."""
     import jax.numpy as jnp
 
     from cvssl_tpu.models.efficientunet import EffiUNet
     from cvssl_tpu.models.resunet import PreUNet
+    from cvssl_tpu.models.swin_unet import SwinUnet
 
-    if isinstance(module, PreUNet):
+    fam = checkpoint_family(sd)
+    if isinstance(module, SwinUnet) and fam == "swin":
+        from cvssl_tpu.models.swin_checkpoint import convert_swin_checkpoint
+        new_params, report = convert_swin_checkpoint(
+            sd, params, num_layers=len(module.depths),
+            depths=tuple(module.depths))
+        if report["loaded"] == 0:
+            raise ValueError(
+                "swin checkpoint matched no SwinUnet tensors — wrong "
+                f"geometry for this model? report={report}")
+        import jax
+        return (jax.tree_util.tree_map(jnp.asarray, new_params),
+                batch_stats, True)
+    if isinstance(module, PreUNet) and fam == "res2net":
         sub, conv = "Res2NetEncoder_0", convert_res2net_encoder
-    elif isinstance(module, EffiUNet):
+    elif isinstance(module, EffiUNet) and fam == "efficientnet":
         sub, conv = "EfficientNetEncoder_0", convert_efficientnet_encoder
     else:
         return params, batch_stats, False

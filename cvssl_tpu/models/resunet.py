@@ -108,7 +108,16 @@ class _ConvBlock(nn.Module):
 
 
 class PreUNet(nn.Module):
-    """(``pretrained_unet.py:38-83``)"""
+    """(``pretrained_unet.py:38-83``)
+
+    Grayscale inputs are tiled 1->3 channels before the encoder (the same
+    convention as the reference's SwinUnet wrapper,
+    ``vision_transformer.py:49-50``). The reference preUnet has no such
+    adapter and CRASHES on 1-channel input (its ImageNet Res2Net stem is
+    3-channel and ``input_channels`` is accepted-but-dead,
+    ``pretrained_unet.py:39-42``) — no reference trainer instantiates it,
+    so the fix is the only way the pretrained workflow can run on the
+    grayscale datasets at all. Documented deviation (docs/PARITY.md)."""
     in_chns: int = 1
     num_classes: int = 4
 
@@ -117,6 +126,8 @@ class PreUNet(nn.Module):
         def up2(z):
             return bilinear_resize(z, (z.shape[1] * 2, z.shape[2] * 2))
 
+        if x.shape[-1] == 1:
+            x = jnp.tile(x, (1,) * (x.ndim - 1) + (3,))
         stem, (x1, x2, x3) = Res2NetEncoder()(x, train=train)
         h = _ConvBlock(1024, 512)(up2(x3), train=train)
         h = _ConvBlock(512, 512)(jnp.concatenate([x2, h], -1), train=train)

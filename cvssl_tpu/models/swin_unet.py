@@ -112,9 +112,14 @@ class WindowAttention(nn.Module):
       FREE reshape of the (B, H, W, C) token map (axis splits never copy).
       The attention einsums carry (B, hb, wb) as batch axes and (i, j) x
       (k, l) as the window token axes, so neither window partition/reverse
-      (two full-tensor transposes each) nor the qkv 5D transpose exists in
-      the program. The round-4 cross-teaching census put 21 of 56 ms/step
-      in exactly those copies (scripts/probe_swin_attn.py).
+      nor the qkv 5D transpose exists in the program.
+
+      MEASURED SLOWER (round 5, scripts/probe_swin_layout.py, real chip,
+      scan-amortized interleaved A/B): the full cross-teaching step is
+      ~100 ms/step on grid vs ~51 ms on windows — the 8D attention
+      einsums' tiny free dims (7x7 window factors) tile far worse onto
+      the MXU than the partition copies cost. Kept as a pinned-equivalent
+      variant for future layout work; the DEFAULT stays "windows".
     """
     dim: int
     window_size: int
@@ -201,7 +206,11 @@ class WindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
-    """(reference ``:169-289``). Input (B, H, W, C)."""
+    """(reference ``:169-289``). Input (B, H, W, C).
+
+    ``attn_layout="grid"`` runs WindowAttention on the free 6D
+    (B, hb, ws, wb, ws, C) view instead of the copied (B*nW, n, C) window
+    batch — same params, same math, no partition/reverse transposes."""
     dim: int
     num_heads: int
     window_size: int = 7
@@ -213,6 +222,7 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     dtype: Any = None
+    attn_layout: str = "windows"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -225,13 +235,23 @@ class SwinBlock(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        windows = window_partition(x, ws)
         mask = shifted_window_mask(h, w, ws, shift) if shift > 0 else None
-        attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                               self.qk_scale, self.attn_drop, self.drop,
-                               dtype=self.dtype,
-                               name="attn")(windows, mask, train=train)
-        x = window_reverse(attn, ws, h, w)
+        if self.attn_layout == "grid":
+            xg = x.reshape(b, h // ws, ws, w // ws, ws, c)
+            attn = WindowAttention(self.dim, ws, self.num_heads,
+                                   self.qkv_bias, self.qk_scale,
+                                   self.attn_drop, self.drop,
+                                   dtype=self.dtype, grid=True,
+                                   name="attn")(xg, mask, train=train)
+            x = attn.reshape(b, h, w, c)
+        else:
+            windows = window_partition(x, ws)
+            attn = WindowAttention(self.dim, ws, self.num_heads,
+                                   self.qkv_bias, self.qk_scale,
+                                   self.attn_drop, self.drop,
+                                   dtype=self.dtype,
+                                   name="attn")(windows, mask, train=train)
+            x = window_reverse(attn, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
 
@@ -400,6 +420,9 @@ class SwinUnet(nn.Module):
     s2d_logits: bool = False      # grouped (B, H/4, W/4, 16, C) train
     # logits — skips the full-res x4 depth-to-space + LN + head (see
     # FinalPatchExpandX4.grouped). Train-step clones only.
+    attn_layout: str = "windows"  # "windows": classic partition (FASTER —
+    # see WindowAttention docstring); "grid": transpose-free 6D variant,
+    # measured 2x slower on the real step. Same param tree either way.
     dtype: Any = None             # bf16 compute (params/softmax/logits f32)
 
     def _block(self, **kw):
@@ -443,6 +466,7 @@ class SwinUnet(nn.Module):
                     qk_scale=self.qk_scale, drop=self.drop_rate,
                     attn_drop=self.attn_drop_rate,
                     drop_path=dpr[sum(self.depths[:i]) + d],
+                    attn_layout=self.attn_layout,
                     dtype=self.dtype, name=f"enc_{i}_{d}")(x, train)
             if i < num_layers - 1:
                 x = PatchMerging(dim, dtype=self.dtype,
@@ -469,6 +493,7 @@ class SwinUnet(nn.Module):
                         qk_scale=self.qk_scale, drop=self.drop_rate,
                         attn_drop=self.attn_drop_rate,
                         drop_path=dpr[sum(self.depths[:stage]) + d],
+                        attn_layout=self.attn_layout,
                         dtype=self.dtype, name=f"dec_{i}_{d}")(x, train)
                 if i < num_layers - 1:
                     x = PatchExpand(dim, dtype=self.dtype,

@@ -60,6 +60,7 @@ _SLOW_FILES = {
     "test_models_zoo.py", "test_models_2d_extra.py", "test_halo.py",
     "test_spatial_parallel.py", "test_s2d_loss.py", "test_engine.py",
     "test_val3d.py", "test_preprocessing_io.py",
+    "test_pretrained_ingest.py",
 }
 
 

@@ -83,6 +83,28 @@ class TestSwinUnet:
         assert nonzero > len(leaves) * 0.7
 
 
+def test_attn_layout_grid_matches_windows():
+    """The 6D grid attention layout is numerically the windows layout with
+    the SAME param tree (measured slower on TPU — probe_swin_layout — but
+    pinned equivalent so future layout work has an oracle). Shifted
+    windows (depth 2 -> one SW-MSA block) and mask path included."""
+    m_win = SwinUnet(num_classes=4, img_size=64, window_size=4,
+                     embed_dim=24, depths=(2, 2), num_heads=(3, 6),
+                     drop_path_rate=0.0, attn_layout="windows")
+    m_grid = SwinUnet(num_classes=4, img_size=64, window_size=4,
+                      embed_dim=24, depths=(2, 2), num_heads=(3, 6),
+                      drop_path_rate=0.0, attn_layout="grid")
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 64, 64, 1)).astype(np.float32))
+    variables = m_win.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x,
+                           train=False)
+    y0 = m_win.apply(variables, x, train=False)
+    y1 = m_grid.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_swin_bf16_close_to_f32():
     """bf16 compute dtype (TPU fast path) stays within bf16 tolerance of
     the f32 forward; params and logits remain f32."""

@@ -111,12 +111,44 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     slices_per_sec = MEASURE_STEPS * batch_size / best
-    print(json.dumps({
+    rec = {
         "metric": "acdc_mean_teacher_train_slices_per_sec_per_chip",
         "value": round(slices_per_sec, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(slices_per_sec / BASELINE_SLICES_PER_SEC, 3),
-    }))
+    }
+    arr = store.arrays()
+    rec.update(_mfu_fields(
+        engine._train_scan_step, best / MEASURE_STEPS, K,
+        (state, arr, jax.ShapeDtypeStruct((K, batch_size), np.int32)),
+        (state, arr, jax.ShapeDtypeStruct((2 * K, batch_size), np.int32))))
+    rec.update(_trace_fields(
+        lambda: float(engine.train_steps_scan(
+            state, [next(stream) for _ in range(K)])[1]["loss"]),
+        K, best / MEASURE_STEPS * 1e3))
+    print(json.dumps(rec))
+
+
+def _mfu_fields(jitted, step_time_s, k, args_k, args_2k):
+    """XLA cost-model FLOPs + MFU for the measured program (VERDICT r4 #3).
+    Two lowerings at scan lengths k / 2k isolate the per-step cost (XLA
+    counts a scan body once — utils/mfu.py::per_step_flops). Lowering at
+    length k hits the warmed jit cache; the 2k lowering is HLO-analysis
+    only (never executed), so no device time is spent."""
+    import jax
+
+    from cvssl_tpu.utils import mfu as mfu_mod
+    per_step = mfu_mod.per_step_flops(jitted, args_k, args_2k, k)
+    if not per_step:
+        return {}
+    out = {"flops_per_step": round(per_step),
+           "step_ms": round(step_time_s * 1e3, 3)}
+    dev = jax.devices()[0]
+    util = mfu_mod.mfu(per_step, step_time_s, dev)
+    if util is not None:
+        out["mfu"] = round(util, 4)
+        out["device_kind"] = dev.device_kind
+    return out
 
 
 def bench_cross_teaching():
@@ -157,8 +189,27 @@ def bench_cross_teaching():
     sps = n * batch / best
     rec = {"metric": "acdc_cross_teaching_cnn_swin_train_slices_per_sec",
            "value": round(sps, 2), "unit": "slices/sec/chip"}
+    from cvssl_tpu.parallel import mesh as pmesh
+    bdev = jax.device_put(b, pmesh.batch_sharding(engine.mesh))
+    rec.update(_mfu_fields(engine._train_step_fixed, best / n, 10,
+                           (state, bdev, 10), (state, bdev, 20)))
+    rec.update(_trace_fields(
+        lambda: float(engine.train_steps_fixed(state, b, 10)[1]["loss"]),
+        10, best / n * 1e3))
     print(json.dumps(rec), file=sys.stderr)
     return rec
+
+
+def _trace_fields(run_and_sync, steps_in_window, wall_ms_per_step):
+    """Device-trace cross-check (VERDICT r4 item 5): one profiled window
+    after the timed reps; flags the record when wall-clock and the
+    device trace disagree >15% (tunnel stall or mis-scoped trace)."""
+    from cvssl_tpu.utils.trace_census import traced_device_ms, wall_vs_trace
+    census = traced_device_ms(run_and_sync)
+    if census is None or census["total_ms"] <= 0:
+        return {"trace": "unavailable"}
+    return wall_vs_trace(wall_ms_per_step,
+                         census["total_ms"] / steps_in_window)
 
 
 def bench_sliding_window():
@@ -201,6 +252,16 @@ def bench_sliding_window():
     vps = n / best
     rec = {"metric": "brats_sliding_window_volumes_per_sec",
            "value": round(vps, 3), "unit": "volumes/sec"}
+    flops_vol = ev.last_flops()  # XLA-counted, whole per-volume program
+    if flops_vol:
+        from cvssl_tpu.utils import mfu as mfu_mod
+        rec["flops_per_volume"] = round(flops_vol)
+        util = mfu_mod.mfu(flops_vol, best / n)
+        if util is not None:
+            rec["mfu"] = round(util, 4)
+            rec["device_kind"] = jax.devices()[0].device_kind
+    rec.update(_trace_fields(lambda: ev.predict_volume(vols[0]),
+                             1, best / n * 1e3))
     print(json.dumps(rec), file=sys.stderr)
     return rec
 
@@ -239,6 +300,13 @@ def bench_uamt_3d():
     vps = n * batch / best
     rec = {"metric": "brats_uamt3d_train_volumes_per_sec",
            "value": round(vps, 3), "unit": "volumes/sec/chip"}
+    from cvssl_tpu.parallel import mesh as pmesh
+    bdev = jax.device_put(b, pmesh.batch_sharding(engine.mesh))
+    rec.update(_mfu_fields(engine._train_step_fixed, best / n, 5,
+                           (state, bdev, 5), (state, bdev, 10)))
+    rec.update(_trace_fields(
+        lambda: float(engine.train_steps_fixed(state, b, 5)[1]["loss"]),
+        5, best / n * 1e3))
     print(json.dumps(rec), file=sys.stderr)
     return rec
 

@@ -183,6 +183,8 @@ class SlidingWindowEvaluator:
         if mirror_axes:  # nnUNet do_mirroring — off by default here
             predict_fn = mirror_tta(predict_fn, mirror_axes)
         wmap = gaussian_importance_map(self.patch_size) if gaussian else None
+        self._pred_wrapped = predict_fn
+        self._patch_batch = patch_batch
         self._acc = _make_accumulator(predict_fn, self.patch_size,
                                       num_classes, patch_batch, wmap)
 
@@ -238,6 +240,8 @@ class SlidingWindowEvaluator:
         fut = self._acc(jnp.asarray(bucket, jnp.float32),
                         jnp.asarray(corners), jnp.asarray(place),
                         target=target)
+        # window-batch count snapshot for last_flops()
+        self._last_n_batches = -(-corners.shape[0] // self._patch_batch)
         bshape = bucket.shape
         packed = self.num_classes <= 2
 
@@ -256,6 +260,25 @@ class SlidingWindowEvaluator:
     def predict_volume(self, image: np.ndarray) -> np.ndarray:
         """Full sliding-window label map for one (x, y, z) volume."""
         return self.predict_volume_async(image)()
+
+    def last_flops(self):
+        """Model FLOPs of the most recent volume's sliding window: the
+        XLA-counted cost of one window-batch forward times the number of
+        window batches (the accumulator's own adds/argmax are <0.1% of a
+        conv net forward and XLA's cost analysis counts a scan body only
+        once, so the per-volume program can't be read off in one lowering
+        — see utils/mfu.py::per_step_flops). None before any dispatch."""
+        n = getattr(self, "_last_n_batches", None)
+        if n is None:
+            return None
+        import jax
+
+        from ..utils.mfu import program_flops
+        per_batch = program_flops(
+            jax.jit(self._pred_wrapped),
+            jax.ShapeDtypeStruct((self._patch_batch, *self.patch_size, 1),
+                                 jnp.float32))
+        return None if per_batch is None else per_batch * n
 
 
 def tiled_predict_2d(predict_fn, image: np.ndarray, patch_size,

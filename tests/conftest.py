@@ -49,7 +49,8 @@ def _assert_cpu_mesh():
 # this 1-CPU box with a warm .jax_cache (see CLAUDE.md).
 # ---------------------------------------------------------------------------
 _PARITY_FILES = {
-    "test_grad_parity.py", "test_grad_parity_more.py", "test_fit_parity.py",
+    "test_grad_parity.py", "test_grad_parity_more.py",
+    "test_grad_parity_vit.py", "test_fit_parity.py",
     "test_torch_parity.py", "test_reference_loss_parity.py",
     "test_gan_scaffolding.py", "test_swin_checkpoint.py",
     "test_cnn_checkpoint.py", "test_cross_teaching_vit.py",

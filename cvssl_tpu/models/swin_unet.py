@@ -130,6 +130,7 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     dtype: Any = None
     grid: bool = False
+    fused: bool = False  # "fused" layout: map-level qkv/proj, see below
 
     def _bias(self, heads: int):
         ws = self.window_size
@@ -179,10 +180,32 @@ class WindowAttention(nn.Module):
             out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
-        b_, n, c = x.shape
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
-                       dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
+        if self.fused:
+            # "fused" layout: x is the (rolled) TOKEN MAP (B, H, W, C).
+            # qkv/proj Dense act on the map (channelwise — they commute
+            # with window partitioning), and ONE transpose of the 3C qkv
+            # map replaces the classic partition(C) + qkv-5D-transpose(3C)
+            # copies; on the way out ONE C transpose replaces
+            # out-transpose(C) + window_reverse(C). The attention einsums
+            # below are SHAPE-IDENTICAL to the classic layout (same MXU
+            # tiling — unlike the "grid" variant, which lost 2x to 8D
+            # einsum tiling), with b_ enumerated row-major exactly like
+            # window_partition, so masks/bias apply unchanged.
+            b, hmap, wmap, c = x.shape
+            hb, wb = hmap // ws, wmap // ws
+            qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                           dtype=self.dtype, name="qkv")(x)
+            qkv = qkv.reshape(b, hb, ws, wb, ws, 3, heads, head_dim)
+            qkv = qkv.transpose(5, 0, 1, 3, 6, 2, 4, 7)
+            # (3, b, hb, wb, heads, ws, ws, d) — adjacent-axis merges free
+            qkv = qkv.reshape(3, b * hb * wb, heads, n, head_dim)
+            b_ = b * hb * wb
+        else:
+            b_, n, c = x.shape
+            qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                           dtype=self.dtype, name="qkv")(x)
+            qkv = qkv.reshape(b_, n, 3, heads,
+                              head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
@@ -200,7 +223,12 @@ class WindowAttention(nn.Module):
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(attn.dtype))
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        if self.fused:
+            out = out.reshape(b, hb, wb, heads, ws, ws, head_dim)
+            out = out.transpose(0, 1, 4, 2, 5, 3, 6)  # one C copy
+            out = out.reshape(b, hmap, wmap, c)
+        else:
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
@@ -244,6 +272,12 @@ class SwinBlock(nn.Module):
                                    dtype=self.dtype, grid=True,
                                    name="attn")(xg, mask, train=train)
             x = attn.reshape(b, h, w, c)
+        elif self.attn_layout == "fused":
+            x = WindowAttention(self.dim, ws, self.num_heads,
+                                self.qkv_bias, self.qk_scale,
+                                self.attn_drop, self.drop,
+                                dtype=self.dtype, fused=True,
+                                name="attn")(x, mask, train=train)
         else:
             windows = window_partition(x, ws)
             attn = WindowAttention(self.dim, ws, self.num_heads,

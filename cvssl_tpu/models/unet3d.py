@@ -79,10 +79,37 @@ def channel_dropout_s2d(rng, x, p: float):
     return jnp.where(keep, xg / (1.0 - p), 0.0).reshape(x.shape)
 
 
+def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """2x half-pixel linear upsample along one axis as its closed 2-tap
+    form: out[2i] = .25*x[i-1] + .75*x[i], out[2i+1] = .75*x[i] +
+    .25*x[i+1] (edges clamped). Pure shifts + adds + an adjacent-axis
+    stack/merge — all axes keep their order, so XLA emits elementwise
+    fusions with NO transposes/gathers (jax.image.resize lowers to
+    per-axis scale_and_translate passes that dominated the 3D copy
+    budget: 71.5 ms/step of copies in the UAMT-3D census,
+    scripts/probe_3d_profile.py)."""
+    n = x.shape[axis]
+    xm = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+                          jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)],
+                         axis)
+    xp = jnp.concatenate([jax.lax.slice_in_dim(x, 1, None, axis=axis),
+                          jax.lax.slice_in_dim(x, n - 1, None, axis=axis)],
+                         axis)
+    lo = 0.25 * xm + 0.75 * x
+    hi = 0.75 * x + 0.25 * xp
+    y = jnp.stack([lo, hi], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return y.reshape(shape)
+
+
 def trilinear_x2(x: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear upsample x2 (torch align_corners=False == jax half-pixel)."""
-    b, d, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * d, 2 * h, 2 * w, c), "trilinear")
+    """Trilinear upsample x2 (torch align_corners=False == jax half-pixel;
+    == jax.image.resize 'trilinear' to f32 rounding — pinned by
+    tests/test_models_3d.py::test_trilinear_x2_matches_resize)."""
+    for ax in (1, 2, 3):
+        x = _up2_axis(x, ax)
+    return x
 
 
 class UnetConv3(nn.Module):

@@ -1,11 +1,18 @@
 """A/B the SwinUnet window-attention layout (VERDICT r4 item 2) on the
 REAL cross-teaching step: UNet + SwinUnet, batch 16 @ 224^2 — the exact
-bench_cross_teaching configuration — with attn_layout "windows" (round-4
-V0) vs "grid" (transpose-free 6D). Scan-amortized (10 steps/dispatch),
+bench_cross_teaching configuration. Scan-amortized (10 steps/dispatch),
 fetch-forced, interleaved A/B/A/B within ONE process so tunnel drift
 cannot masquerade as a win.
 
-Run: cd /tmp && python /root/repo/scripts/probe_swin_layout.py
+Layouts (args, default "windows grid"):
+  windows — classic partition + qkv-5D-transpose (round-4 V0)
+  grid    — transpose-free 6D einsums (measured 2x SLOWER: tiny free
+            dims tile badly on the MXU)
+  fused   — map-level qkv/proj; one 3C transpose replaces partition +
+            qkv-transpose, one C transpose replaces out-transpose +
+            reverse; attention einsums SHAPE-IDENTICAL to windows
+
+Run: cd /tmp && python /root/repo/scripts/probe_swin_layout.py [layouts...]
 """
 import sys
 import time
@@ -48,12 +55,13 @@ def measure(engine, state, b, n=60):
 def main():
     from cvssl_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache("auto")
+    layouts = tuple(sys.argv[1:]) or ("windows", "grid")
     sides = {}
-    for layout in ("windows", "grid"):
+    for layout in layouts:
         sides[layout] = build(layout)
         print(f"{layout}: compiled", flush=True)
     for rep in range(4):
-        for layout in ("windows", "grid"):
+        for layout in layouts:
             eng, st, b = sides[layout]
             ms, st = measure(eng, st, b)
             sides[layout] = (eng, st, b)

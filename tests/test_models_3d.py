@@ -120,3 +120,28 @@ def test_grid_attention_2d_shapes():
     assert out.shape == x.shape
     assert att.shape == (2, 32, 32, 1)
     assert float(jnp.isfinite(out).all())
+
+
+def test_trilinear_x2_matches_resize():
+    """The 2-tap closed-form trilinear_x2 (no transposes/gathers — the 3D
+    copy-budget fix, probe_3d_profile) == jax.image.resize 'trilinear' ==
+    torch interpolate(align_corners=False), to f32 rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvssl_tpu.models.unet3d import trilinear_x2
+
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 5, 6, 7, 3)).astype(np.float32))
+    ref = jax.image.resize(x, (2, 10, 12, 14, 3), "trilinear")
+    got = trilinear_x2(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+    import torch
+    t = torch.nn.functional.interpolate(
+        torch.tensor(np.moveaxis(np.asarray(x), -1, 1)), scale_factor=2,
+        mode="trilinear", align_corners=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.moveaxis(t.numpy(), 1, -1), rtol=0, atol=1e-6)

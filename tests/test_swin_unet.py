@@ -105,6 +105,42 @@ def test_attn_layout_grid_matches_windows():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_attn_layout_fused_matches_windows():
+    """The fused layout (map-level qkv/proj, one 3C transpose in place of
+    partition + qkv-5D-transpose, one C transpose in place of
+    out-transpose + reverse) is numerically the windows layout with the
+    SAME param tree. Shifted windows (depth 2 -> one SW-MSA block with
+    mask) included."""
+    m_win = SwinUnet(num_classes=4, img_size=64, window_size=4,
+                     embed_dim=24, depths=(2, 2), num_heads=(3, 6),
+                     drop_path_rate=0.0, attn_layout="windows")
+    m_fused = SwinUnet(num_classes=4, img_size=64, window_size=4,
+                       embed_dim=24, depths=(2, 2), num_heads=(3, 6),
+                       drop_path_rate=0.0, attn_layout="fused")
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(2, 64, 64, 1)).astype(np.float32))
+    variables = m_win.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x,
+                           train=False)
+    y0 = m_win.apply(variables, x, train=False)
+    y1 = m_fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients flow and match at the f32 reassociation floor
+    def loss(m, v):
+        return jnp.sum(m.apply(v, x, train=False) ** 2)
+
+    g0 = jax.grad(lambda p: loss(m_win, {"params": p}))(variables["params"])
+    g1 = jax.grad(lambda p: loss(m_fused, {"params": p}))(
+        variables["params"])
+    l0 = jax.tree_util.tree_leaves(g0)
+    l1 = jax.tree_util.tree_leaves(g1)
+    scale = max(float(jnp.abs(a).max()) for a in l0)
+    for a, b in zip(l0, l1):
+        assert float(jnp.abs(a - b).max()) <= 1e-4 * scale
+
+
 def test_swin_bf16_close_to_f32():
     """bf16 compute dtype (TPU fast path) stays within bf16 tolerance of
     the f32 forward; params and logits remain f32."""

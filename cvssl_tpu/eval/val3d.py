@@ -86,9 +86,14 @@ def mirror_tta(predict_fn: Callable, mirror_axes: Sequence[int]):
 
 def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
                       batch: int, weight_map: Optional[np.ndarray] = None):
-    """Build a jitted (volume, corners, place, target) -> label accumulator.
-    predict_fn: (B, *patch, 1) -> (B, *patch, C) softmax probabilities.
-    weight_map: optional (pd, ph, pw) importance weights (Gaussian mode).
+    """Build a jitted (volume, corners, place, cnt, pargs, target) -> label
+    accumulator. predict_fn: (pargs, (B, *patch, 1)) -> (B, *patch, C)
+    softmax probabilities — ``pargs`` (e.g. model params/batch_stats) are
+    PROGRAM ARGUMENTS, not trace-time constants, so one compiled program
+    serves every checkpoint (weights baked as constants forced a full
+    remote recompile per validation pass — the compile cache keys on the
+    embedded values). weight_map: optional (pd, ph, pw) importance
+    weights (Gaussian mode).
 
     The caller uploads a lightly bucketed RAW volume; padding to the
     reference grid shape (``target``, static) happens ON DEVICE by placing
@@ -99,53 +104,74 @@ def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
     pd, ph, pw = patch_size
     wmap = None if weight_map is None else jnp.asarray(weight_map)[..., None]
 
+    def _pad_corners(corners):
+        # pad by repeating the last corner — duplicates add the same
+        # softmax AND the same count, so score/cnt is unchanged. The cnt
+        # builder below MUST use the same padded sequence.
+        n = corners.shape[0]
+        n_batches = (n + batch - 1) // batch
+        pad = n_batches * batch - n
+        corners_p = jnp.concatenate(
+            [corners, jnp.tile(corners[-1:], (pad, 1))]) if pad else corners
+        return corners_p.reshape(n_batches, batch, 3)
+
     @functools.partial(jax.jit, static_argnames=("target",))
-    def run(vol_in, corners, place, target):
+    def build_cnt(corners, target):
+        """Per-voxel window-coverage count — a function of the corner set
+        only, so the evaluator caches it across same-shaped volumes
+        (recomputing it cost 26 ms/volume of dynamic_update_slice in the
+        round-5 census, scripts/probe_3d_profile.py sw)."""
+        d, h, w = target
+        cnt = jnp.zeros((d, h, w, 1), jnp.float32)
+
+        def add_one(i, cnt, corner_batch):
+            c = corner_batch[i]
+            idx = (c[0], c[1], c[2], 0)
+            oldc = jax.lax.dynamic_slice(cnt, idx, (pd, ph, pw, 1))
+            add = 1.0 if wmap is None else wmap
+            return jax.lax.dynamic_update_slice(cnt, oldc + add, idx)
+
+        def step(cnt, corner_batch):
+            cnt = jax.lax.fori_loop(
+                0, corner_batch.shape[0],
+                lambda i, c: add_one(i, c, corner_batch), cnt)
+            return cnt, None
+
+        cnt, _ = jax.lax.scan(step, cnt, _pad_corners(corners))
+        return cnt
+
+    @functools.partial(jax.jit, static_argnames=("target",))
+    def run(vol_in, corners, place, cnt, pargs, target):
         d, h, w = target
         in_shape = vol_in.shape  # static under trace
         volume = jax.lax.dynamic_update_slice(
             jnp.zeros((d, h, w), vol_in.dtype), vol_in,
             (place[0], place[1], place[2]))
         score = jnp.zeros((d, h, w, num_classes), jnp.float32)
-        cnt = jnp.zeros((d, h, w, 1), jnp.float32)
 
         def extract(c):
             return jax.lax.dynamic_slice(volume, (c[0], c[1], c[2]),
                                          (pd, ph, pw))
 
-        def step(carry, corner_batch):
-            score, cnt = carry
+        def step(score, corner_batch):
             patches = jax.vmap(extract)(corner_batch)[..., None]
-            probs = predict_fn(patches)
+            probs = predict_fn(pargs, patches)
             if wmap is not None:
                 probs = probs * wmap[None]
 
-            def add_one(i, sc):
-                score, cnt = sc
+            def add_one(i, score):
                 c = corner_batch[i]
                 idx = (c[0], c[1], c[2], 0)
                 old = jax.lax.dynamic_slice(score, idx,
                                             (pd, ph, pw, num_classes))
-                score = jax.lax.dynamic_update_slice(score, old + probs[i],
-                                                     idx)
-                oldc = jax.lax.dynamic_slice(cnt, idx, (pd, ph, pw, 1))
-                add = 1.0 if wmap is None else wmap
-                cnt = jax.lax.dynamic_update_slice(cnt, oldc + add, idx)
-                return score, cnt
+                return jax.lax.dynamic_update_slice(score, old + probs[i],
+                                                    idx)
 
-            score, cnt = jax.lax.fori_loop(0, corner_batch.shape[0], add_one,
-                                           (score, cnt))
-            return (score, cnt), None
+            score = jax.lax.fori_loop(0, corner_batch.shape[0], add_one,
+                                      score)
+            return score, None
 
-        n = corners.shape[0]
-        n_batches = (n + batch - 1) // batch
-        # pad corners by repeating the last one — duplicates add the same
-        # softmax AND the same count, so score/cnt is unchanged.
-        pad = n_batches * batch - n
-        corners_p = jnp.concatenate(
-            [corners, jnp.tile(corners[-1:], (pad, 1))]) if pad else corners
-        (score, cnt), _ = jax.lax.scan(step, (score, cnt),
-                                       corners_p.reshape(n_batches, batch, 3))
+        score, _ = jax.lax.scan(step, score, _pad_corners(corners))
         # finalize in the same program: eager div/argmax/cast each cost a
         # ~30ms tunnel round-trip, and uint8 keeps the D2H fetch 4x smaller
         label = jnp.argmax(score / cnt, axis=-1).astype(jnp.uint8)
@@ -164,7 +190,7 @@ def _make_accumulator(predict_fn: Callable, patch_size, num_classes: int,
             out = (bits @ weights).astype(jnp.uint8)
         return out
 
-    return run
+    return run, build_cnt
 
 
 class SlidingWindowEvaluator:
@@ -174,19 +200,37 @@ class SlidingWindowEvaluator:
     def __init__(self, predict_fn: Callable, patch_size: Sequence[int],
                  num_classes: int, stride_xy: int, stride_z: int,
                  patch_batch: int = 6, gaussian: bool = False,
-                 mirror_axes: Optional[Sequence[int]] = None):
+                 mirror_axes: Optional[Sequence[int]] = None,
+                 predict_takes_args: bool = False):
+        """``predict_takes_args``: predict_fn is ``(pargs, patches)`` and
+        callers pass ``predict_args`` (e.g. (params, batch_stats)) per
+        volume — weights stay PROGRAM ARGUMENTS so one compiled program
+        serves every checkpoint. The default single-arg form bakes
+        whatever predict_fn closes over into the program as constants
+        (fine for a fixed model; a training loop that rebuilds the
+        closure per validation pays a full recompile every pass)."""
         self.predict_fn = predict_fn
         self.patch_size = tuple(patch_size)
         self.num_classes = num_classes
         self.stride_xy = stride_xy
         self.stride_z = stride_z
+        if predict_takes_args:
+            pf2 = predict_fn
+        else:
+            def pf2(pargs, x):
+                return predict_fn(x)
         if mirror_axes:  # nnUNet do_mirroring — off by default here
-            predict_fn = mirror_tta(predict_fn, mirror_axes)
+            base2 = pf2
+
+            def pf2(pargs, x):
+                return mirror_tta(lambda xx: base2(pargs, xx),
+                                  mirror_axes)(x)
         wmap = gaussian_importance_map(self.patch_size) if gaussian else None
-        self._pred_wrapped = predict_fn
+        self._pred_wrapped = pf2
         self._patch_batch = patch_batch
-        self._acc = _make_accumulator(predict_fn, self.patch_size,
-                                      num_classes, patch_batch, wmap)
+        self._acc, self._cnt_build = _make_accumulator(
+            pf2, self.patch_size, num_classes, patch_batch, wmap)
+        self._cnt_cache = {}  # (target, corners bytes) -> device cnt grid
 
     def _plan(self, shape):
         """Padding plan for one raw volume shape.
@@ -224,7 +268,7 @@ class SlidingWindowEvaluator:
         return tuple(target), tuple(extent), bpads, \
             np.asarray(place, np.int32)
 
-    def predict_volume_async(self, image: np.ndarray):
+    def predict_volume_async(self, image: np.ndarray, predict_args=()):
         """Dispatch the sliding window for one volume and return a
         zero-arg collector. The device computes while the host fetches /
         scores a previous volume (hd95's EDT is host-side and slow) —
@@ -237,9 +281,20 @@ class SlidingWindowEvaluator:
         bucket = np.pad(image, bpads, mode="constant", constant_values=0)
         corners = compute_corners(extent, self.patch_size,
                                   self.stride_xy, self.stride_z)
+        key = (target, corners.tobytes())
+        cnt = self._cnt_cache.get(key)
+        if cnt is None:
+            cnt = self._cnt_build(jnp.asarray(corners), target=target)
+            if len(self._cnt_cache) >= 8:  # bound: val sets reuse few shapes
+                self._cnt_cache.pop(next(iter(self._cnt_cache)))
+            self._cnt_cache[key] = cnt
         fut = self._acc(jnp.asarray(bucket, jnp.float32),
-                        jnp.asarray(corners), jnp.asarray(place),
-                        target=target)
+                        jnp.asarray(corners), jnp.asarray(place), cnt,
+                        predict_args, target=target)
+        self._last_pargs_spec = jax.tree_util.tree_map(
+            lambda t: jax.ShapeDtypeStruct(jnp.shape(t),
+                                           jnp.result_type(t)),
+            predict_args)
         # window-batch count snapshot for last_flops()
         self._last_n_batches = -(-corners.shape[0] // self._patch_batch)
         bshape = bucket.shape
@@ -276,6 +331,7 @@ class SlidingWindowEvaluator:
         from ..utils.mfu import program_flops
         per_batch = program_flops(
             jax.jit(self._pred_wrapped),
+            getattr(self, "_last_pargs_spec", ()),
             jax.ShapeDtypeStruct((self._patch_batch, *self.patch_size, 1),
                                  jnp.float32))
         return None if per_batch is None else per_batch * n
@@ -303,11 +359,19 @@ def tiled_predict_2d(predict_fn, image: np.ndarray, patch_size,
 
 def test_all_case(predict_fn, dataset, num_classes: int = 2,
                   patch_size=(96, 96, 96), stride_xy: int = 64,
-                  stride_z: int = 64) -> np.ndarray:
+                  stride_z: int = 64, evaluator=None,
+                  predict_args=()) -> np.ndarray:
     """Mean (dice, hd95) over foreground classes across a volume dataset —
-    reference ``val_3D.test_all_case`` (``val_3D.py:91-107``)."""
-    ev = SlidingWindowEvaluator(predict_fn, patch_size, num_classes,
-                                stride_xy, stride_z)
+    reference ``val_3D.test_all_case`` (``val_3D.py:91-107``).
+
+    ``evaluator``/``predict_args``: a training loop passes ITS cached
+    SlidingWindowEvaluator (predict_takes_args=True) and the current
+    weights per call — one compiled program serves every validation pass
+    (Engine.validate; a per-pass evaluator would bake the weights in as
+    constants and recompile each time)."""
+    ev = evaluator or SlidingWindowEvaluator(predict_fn, patch_size,
+                                             num_classes, stride_xy,
+                                             stride_z)
     total = np.zeros((num_classes - 1, 2))
     # software pipeline: volume i+1 computes on device while volume i is
     # fetched and scored on the host (hd95's EDT is the slow host part)
@@ -316,7 +380,7 @@ def test_all_case(predict_fn, dataset, num_classes: int = 2,
         nxt = None
         if i < len(dataset):
             sample = dataset[i]
-            nxt = (ev.predict_volume_async(sample["image"]),
+            nxt = (ev.predict_volume_async(sample["image"], predict_args),
                    np.asarray(sample["label"]))
         if pending is not None:
             collect, label = pending

@@ -82,12 +82,16 @@ def channel_dropout_s2d(rng, x, p: float):
 def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """2x half-pixel linear upsample along one axis as its closed 2-tap
     form: out[2i] = .25*x[i-1] + .75*x[i], out[2i+1] = .75*x[i] +
-    .25*x[i+1] (edges clamped). Pure shifts + adds + an adjacent-axis
-    stack/merge — all axes keep their order, so XLA emits elementwise
-    fusions with NO transposes/gathers (jax.image.resize lowers to
-    per-axis scale_and_translate passes that dominated the 3D copy
-    budget: 71.5 ms/step of copies in the UAMT-3D census,
-    scripts/probe_3d_profile.py)."""
+    .25*x[i+1] (edges clamped) — shifts + adds + an adjacent-axis
+    stack/merge, no gathers/transposes.
+
+    MEASURED SLOWER than jax.image.resize as the full-model upsample
+    (round 5, probe_3d_profile on chip: UAMT-3D step 259 -> 319 ms,
+    sliding window 296 -> 338 ms with trilinear_x2 built from this) —
+    resize's per-axis banded contractions beat elementwise interleave on
+    TPU. Kept (a) as the H-axis halo-exchange form (parallel/halo.py,
+    where the cross-shard axis can't go through resize) and (b) as a
+    pinned-equivalent oracle (test_models_3d.py)."""
     n = x.shape[axis]
     xm = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=axis),
                           jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)],
@@ -104,12 +108,11 @@ def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def trilinear_x2(x: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear upsample x2 (torch align_corners=False == jax half-pixel;
-    == jax.image.resize 'trilinear' to f32 rounding — pinned by
-    tests/test_models_3d.py::test_trilinear_x2_matches_resize)."""
-    for ax in (1, 2, 3):
-        x = _up2_axis(x, ax)
-    return x
+    """Trilinear upsample x2 (torch align_corners=False == jax half-pixel).
+    jax.image.resize, deliberately: see _up2_axis for the measured-slower
+    closed-form alternative."""
+    b, d, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * d, 2 * h, 2 * w, c), "trilinear")
 
 
 class UnetConv3(nn.Module):

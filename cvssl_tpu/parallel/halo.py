@@ -82,7 +82,10 @@ def _instance_norm(x, axis_name, eps=1e-5):
 
 
 def _up_x2(x, axis_name, ndev):
-    """Trilinear x2 (half-pixel): local resize on D/W, halo form on H."""
+    """Trilinear x2 (half-pixel): local resize on D/W (measured faster
+    than the elementwise 2-tap form — models/unet3d.py::_up2_axis
+    docstring), halo 2-tap form on H (the cross-shard axis can't go
+    through resize)."""
     b, d, h, w, c = x.shape
     x = jax.image.resize(x, (b, 2 * d, h, 2 * w, c), "trilinear")
     xh = _halo(x, axis_name, ndev, "edge")

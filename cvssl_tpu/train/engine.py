@@ -391,10 +391,22 @@ class Engine:
         if self.cfg.patch_size2 and name == "model2":
             size = self.cfg.patch_size2
         if self.cfg.dim == 3:
+            # cached evaluator + weights as program ARGUMENTS: one
+            # compiled sliding-window program serves every validation
+            # pass (a per-pass closure bakes the weights in as constants
+            # -> full remote recompile each pass)
+            key = ("sw3d", name, tuple(size))
+            if key not in self._val_fns:
+                base = self._predict_base(name, "softmax")
+                self._val_fns[key] = val3d.SlidingWindowEvaluator(
+                    lambda pargs, x: base(pargs[0], pargs[1], x),
+                    size, self.cfg.num_classes, 64, 64,
+                    predict_takes_args=True)
+            params, stats = self._weights(name, state, teacher=False)
             return val3d.test_all_case(
-                self.predict_probs_fn(name, state), val_dataset,
-                self.cfg.num_classes, size,
-                stride_xy=64, stride_z=64)
+                None, val_dataset, self.cfg.num_classes, size,
+                stride_xy=64, stride_z=64, evaluator=self._val_fns[key],
+                predict_args=(params, stats))
         if self._resident_val:
             store = self._val_resident_store(val_dataset, tuple(size))
             if store is not None:

@@ -285,3 +285,45 @@ class TestWeightsArtifactsAndProstate:
         avg = test_2d.inference(flags)
         assert avg.shape[0] == 1  # one foreground class
         assert np.all(np.isfinite(avg))
+
+
+def test_validate_3d_reuses_cached_evaluator():
+    """Engine.validate (dim=3) routes through ONE cached
+    SlidingWindowEvaluator with the weights as program ARGUMENTS — two
+    validate calls with different weights reuse the same compiled program
+    (a per-pass closure baked weights in as constants and recompiled every
+    validation)."""
+    import jax
+    import numpy as np
+
+    from cvssl_tpu.train.config import TrainConfig
+    from cvssl_tpu.train.engine import Engine
+
+    cfg = TrainConfig(method="mean_teacher", model="unet_3D", dim=3,
+                      num_classes=2, batch_size=2, labeled_bs=1,
+                      labeled_slices_override=1, patch_size=(32, 32, 32),
+                      num_devices=1)
+    engine = Engine(cfg)
+    rng = np.random.default_rng(0)
+    b = {"image": rng.normal(size=(2, 32, 32, 32, 1)).astype(np.float32),
+         "label": rng.integers(0, 2, (2, 32, 32, 32)).astype(np.int32),
+         "idx": np.arange(2, dtype=np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(0), b)
+
+    class _ValSet:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(10 + i)
+            img = r.normal(0.5, 0.2, (36, 40, 33)).astype(np.float32)
+            lab = (img > 0.6).astype(np.int64)
+            return {"image": img, "label": lab}
+
+    perf1 = engine.validate(state, _ValSet())
+    ev = engine._val_fns[("sw3d", "model", (32, 32, 32))]
+    state, _ = engine.train_step(state, b)  # weights move
+    perf2 = engine.validate(state, _ValSet())
+    assert engine._val_fns[("sw3d", "model", (32, 32, 32))] is ev
+    assert perf1.shape == perf2.shape == (1, 2)
+    assert np.isfinite(perf1[:, 0]).all() and np.isfinite(perf2[:, 0]).all()

@@ -122,20 +122,21 @@ def test_grid_attention_2d_shapes():
     assert float(jnp.isfinite(out).all())
 
 
-def test_trilinear_x2_matches_resize():
-    """The 2-tap closed-form trilinear_x2 (no transposes/gathers — the 3D
-    copy-budget fix, probe_3d_profile) == jax.image.resize 'trilinear' ==
+def test_up2_axis_closed_form_matches_resize():
+    """The 2-tap closed-form upsample (_up2_axis — the halo path's
+    cross-shard form, and the measured-slower-on-TPU full-model variant,
+    see its docstring) == jax.image.resize 'trilinear' ==
     torch interpolate(align_corners=False), to f32 rounding."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from cvssl_tpu.models.unet3d import trilinear_x2
+    from cvssl_tpu.models.unet3d import _up2_axis
 
     x = jnp.asarray(np.random.default_rng(3).normal(
         size=(2, 5, 6, 7, 3)).astype(np.float32))
     ref = jax.image.resize(x, (2, 10, 12, 14, 3), "trilinear")
-    got = trilinear_x2(x)
+    got = _up2_axis(_up2_axis(_up2_axis(x, 1), 2), 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-6)
 

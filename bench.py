@@ -287,14 +287,19 @@ def bench_uamt_3d():
          "label": rng.integers(0, 2, (batch, 96, 96, 96)).astype(np.int32),
          "idx": np.arange(batch, dtype=np.int32)}
     state = engine.init_state(jax.random.PRNGKey(0), b)
-    state, metrics = engine.train_steps_fixed(state, b, 5)
+    # K=10 steps per dispatch — the same production scan depth the 2D
+    # headline uses; at ~28 ms relay RTT per dispatch, 5-step scans left
+    # ~6 ms/step of pure dispatch overhead in the record (device trace
+    # 259 ms vs walls 330-375 across rounds)
+    K = 10
+    state, metrics = engine.train_steps_fixed(state, b, K)
     float(metrics["loss"])
-    n = 10
+    n = 20
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        for _ in range(n // 5):
-            state, metrics = engine.train_steps_fixed(state, b, 5)
+        for _ in range(n // K):
+            state, metrics = engine.train_steps_fixed(state, b, K)
         float(metrics["loss"])
         best = min(best, time.perf_counter() - t0)
     vps = n * batch / best
@@ -302,11 +307,11 @@ def bench_uamt_3d():
            "value": round(vps, 3), "unit": "volumes/sec/chip"}
     from cvssl_tpu.parallel import mesh as pmesh
     bdev = jax.device_put(b, pmesh.batch_sharding(engine.mesh))
-    rec.update(_mfu_fields(engine._train_step_fixed, best / n, 5,
-                           (state, bdev, 5), (state, bdev, 10)))
+    rec.update(_mfu_fields(engine._train_step_fixed, best / n, K,
+                           (state, bdev, K), (state, bdev, 2 * K)))
     rec.update(_trace_fields(
-        lambda: float(engine.train_steps_fixed(state, b, 5)[1]["loss"]),
-        5, best / n * 1e3))
+        lambda: float(engine.train_steps_fixed(state, b, K)[1]["loss"]),
+        K, best / n * 1e3))
     print(json.dumps(rec), file=sys.stderr)
     return rec
 

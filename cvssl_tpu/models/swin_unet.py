@@ -191,6 +191,13 @@ class WindowAttention(nn.Module):
             # tiling — unlike the "grid" variant, which lost 2x to 8D
             # einsum tiling), with b_ enumerated row-major exactly like
             # window_partition, so masks/bias apply unchanged.
+            # MEASURED SLOWER anyway (round 5, probe_swin_layout,
+            # interleaved A/B on the real cross-teaching step: 59.6 vs
+            # 51.9 ms/step) — one 8-axis transpose of the 3C map costs
+            # more than the four smaller copies; TPU transpose cost is
+            # not copy-count-linear. Kept pinned-equivalent
+            # (tests/test_swin_unet.py) as a layout oracle; default
+            # stays "windows".
             b, hmap, wmap, c = x.shape
             hb, wb = hmap // ws, wmap // ws
             qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,

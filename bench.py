@@ -154,10 +154,21 @@ def _mfu_fields(jitted, step_time_s, k, args_k, args_2k):
 def bench_cross_teaching():
     """North-star #4: cross-teaching UNet + SwinUnet-tiny train step at
     224^2 (reference ``train_cross_teaching_between_cnn_transformer_2D.py``
-    config: batch 16 = 8 labeled + 8 unlabeled)."""
+    config: batch 16 = 8 labeled + 8 unlabeled).
+
+    Measures the PRODUCTION data path: cross_teaching's transform is
+    "default" (the reference's RandomGenerator), so ``fit()`` runs it from
+    the device-resident store with augmentation inside the scanned step —
+    same as the headline leg. The previous host-batch form re-uploaded a
+    6.4 MB batch per 10-step dispatch through the ~1.4 GB/s tunnel and
+    re-flattened the ~400-leaf state pytree per call, which is overhead
+    the production path does not pay (and it skipped augmentation, which
+    production DOES pay)."""
     from cvssl_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
+    from cvssl_tpu.data.device_store import DeviceSliceStore
+    from cvssl_tpu.data.sampler import TwoStreamBatchSampler
     from cvssl_tpu.train.config import TrainConfig
     from cvssl_tpu.train.engine import Engine
 
@@ -165,37 +176,48 @@ def bench_cross_teaching():
     cfg = TrainConfig(method="cross_teaching", model="unet",
                       model2="ViT_Seg", num_classes=4, batch_size=batch,
                       labeled_bs=8, patch_size=(224, 224), num_devices=None,
-                      labeled_slices_override=8)
+                      labeled_slices_override=ACDC_LABELED_SLICES)
     engine = Engine(cfg)
-    rng = np.random.default_rng(0)
-    b = {"image": rng.normal(size=(batch, 224, 224, 1)).astype(np.float32),
-         "label": rng.integers(0, 4, (batch, 224, 224)).astype(np.int32),
-         "idx": np.arange(batch, dtype=np.int32)}
-    state = engine.init_state(jax.random.PRNGKey(0), b)
-    state, metrics = engine.train_steps_fixed(state, b, 10)
+
+    store = DeviceSliceStore(_SyntheticACDC(), cfg.patch_size)
+    engine.attach_store(store)
+    sampler = TwoStreamBatchSampler(
+        list(range(ACDC_LABELED_SLICES)),
+        list(range(ACDC_LABELED_SLICES, ACDC_TRAIN_SLICES)),
+        batch, batch - cfg.labeled_bs, rng=np.random.default_rng(0))
+    stream = sampler.epochs()
+
+    init_batch = {
+        "image": np.zeros((batch, 224, 224, 1), np.float32),
+        "label": np.zeros((batch, 224, 224), np.int32),
+        "idx": np.arange(batch, dtype=np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(cfg.seed), init_batch)
+
+    K = SCAN_STEPS
+    state, metrics = engine.train_steps_scan(
+        state, [next(stream) for _ in range(K)])
     float(metrics["loss"])  # fetch-forced sync (see module docstring)
-    # measure MEASURE_STEPS (same window as the headline bench): at 20
-    # steps/fetch the ~60-90 ms dispatch+fetch tunnel latency was adding
-    # ~7 ms/step of pure measurement overhead the production scan path
-    # (async dispatch, one fetch per K) does not pay
     n = MEASURE_STEPS
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        for _ in range(n // 10):
-            state, metrics = engine.train_steps_fixed(state, b, 10)
+        for _ in range(n // K):
+            state, metrics = engine.train_steps_scan(
+                state, [next(stream) for _ in range(K)])
         float(metrics["loss"])
         best = min(best, time.perf_counter() - t0)
     sps = n * batch / best
     rec = {"metric": "acdc_cross_teaching_cnn_swin_train_slices_per_sec",
            "value": round(sps, 2), "unit": "slices/sec/chip"}
-    from cvssl_tpu.parallel import mesh as pmesh
-    bdev = jax.device_put(b, pmesh.batch_sharding(engine.mesh))
-    rec.update(_mfu_fields(engine._train_step_fixed, best / n, 10,
-                           (state, bdev, 10), (state, bdev, 20)))
+    arr = store.arrays()
+    rec.update(_mfu_fields(
+        engine._train_scan_step, best / n, K,
+        (state, arr, jax.ShapeDtypeStruct((K, batch), np.int32)),
+        (state, arr, jax.ShapeDtypeStruct((2 * K, batch), np.int32))))
     rec.update(_trace_fields(
-        lambda: float(engine.train_steps_fixed(state, b, 10)[1]["loss"]),
-        10, best / n * 1e3))
+        lambda: float(engine.train_steps_scan(
+            state, [next(stream) for _ in range(K)])[1]["loss"]),
+        K, best / n * 1e3))
     print(json.dumps(rec), file=sys.stderr)
     return rec
 
